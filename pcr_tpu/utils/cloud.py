@@ -1,0 +1,119 @@
+"""Fixed-shape, masked point-cloud containers (the TPU-native data plane).
+
+The reference passes ragged Open3D ``PointCloud`` objects around; on TPU
+everything is a statically-shaped padded array with a validity mask (SURVEY §7
+design stance).  ``Cloud`` is a registered pytree so it flows through
+jit/vmap/shard_map.  Padded points are parked at a far-away sentinel coordinate
+so that distance-based kernels naturally never select them, *and* every kernel
+still consults the mask.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Sentinel coordinate for padding: far enough that no real neighbor query can
+# reach it, small enough to keep squared distances finite in float32.
+PAD_COORD = 1.0e6
+
+# Per-dataset bucket sizes (SURVEY §7): smallest power-of-two-ish multiple of
+# 256 that holds every scan in the dataset.
+BUCKETS = {"NCLT": 32768, "Facade": 90112, "Courtyard": 245760}
+
+
+def round_up(n: int, multiple: int = 256) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Cloud:
+    """Padded point cloud: points (N, 3) f32, mask (N,) bool, optional attrs."""
+
+    points: jnp.ndarray
+    mask: jnp.ndarray
+    normals: jnp.ndarray | None = None      # (N, 3)
+    covariances: jnp.ndarray | None = None  # (N, 3, 3)
+    colors: jnp.ndarray | None = None       # (N, 3)
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        children = (self.points, self.mask, self.normals, self.covariances, self.colors)
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- convenience --------------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[-2]
+
+    def count(self) -> jnp.ndarray:
+        """Number of valid points (traced scalar)."""
+        return jnp.sum(self.mask.astype(jnp.int32), axis=-1)
+
+    def with_(self, **kwargs) -> "Cloud":
+        return replace(self, **kwargs)
+
+    def masked_points(self) -> jnp.ndarray:
+        """Points with padding parked at the sentinel coordinate."""
+        return jnp.where(self.mask[..., None], self.points, PAD_COORD)
+
+
+def from_numpy(points: np.ndarray, capacity: int | None = None,
+               colors: np.ndarray | None = None) -> Cloud:
+    """Pad host points (n, 3) to `capacity` (default: round_up(n))."""
+    points = np.asarray(points, dtype=np.float32)
+    n = points.shape[0]
+    cap = capacity or round_up(n)
+    if cap < n:
+        raise ValueError(f"capacity {cap} < point count {n}")
+    pts = np.full((cap, 3), PAD_COORD, dtype=np.float32)
+    pts[:n] = points
+    mask = np.zeros((cap,), dtype=bool)
+    mask[:n] = True
+    cols = None
+    if colors is not None:
+        cols = np.zeros((cap, 3), dtype=np.float32)
+        cols[:n] = colors
+    return Cloud(points=jnp.asarray(pts), mask=jnp.asarray(mask),
+                 colors=None if cols is None else jnp.asarray(cols))
+
+
+def load_cloud(path: str, capacity: int | None = None) -> Cloud:
+    """Read a PCD file into a padded Cloud (replaces o3d.io.read_point_cloud)."""
+    from . import pcd
+
+    data = pcd.read_pcd(path)
+    return from_numpy(data.points, capacity=capacity, colors=data.colors)
+
+
+def load_dataset(dataset: str, indices=None, capacity: int | None = None) -> list[Cloud]:
+    """Load reference dataset scans padded to the dataset bucket size."""
+    from . import poses_io
+
+    n = poses_io.CIRCUIT_SIZES[dataset]
+    if indices is None:
+        indices = range(n)
+    cap = capacity or BUCKETS[dataset]
+    return [load_cloud(poses_io.reference_cloud_path(dataset, i), capacity=cap)
+            for i in indices]
+
+
+def stack_clouds(clouds: list[Cloud]) -> Cloud:
+    """Stack same-capacity clouds into a batched Cloud with leading dim B."""
+    def _stack(*xs):
+        return None if xs[0] is None else jnp.stack(xs)
+
+    pts = jnp.stack([c.points for c in clouds])
+    msk = jnp.stack([c.mask for c in clouds])
+    normals = _stack(*[c.normals for c in clouds]) if all(c.normals is not None for c in clouds) else None
+    covs = _stack(*[c.covariances for c in clouds]) if all(c.covariances is not None for c in clouds) else None
+    cols = _stack(*[c.colors for c in clouds]) if all(c.colors is not None for c in clouds) else None
+    return Cloud(points=pts, mask=msk, normals=normals, covariances=covs, colors=cols)

@@ -1,0 +1,79 @@
+"""PCD / pose-file I/O tests against the shipped reference data."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pcr_tpu.utils import cloud, pcd, poses_io, se3
+
+import jax.numpy as jnp
+
+REF = poses_io.REFERENCE_ROOT
+HAVE_REF = os.path.isdir(os.path.join(REF, "nuvens"))
+
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+
+
+def test_read_nclt_scan():
+    data = pcd.read_pcd(poses_io.reference_cloud_path("NCLT", 0))
+    assert data.points.shape == (18421, 3)  # POINTS header of s0.pcd (SURVEY §0)
+    assert data.points.dtype == np.float32
+    assert np.isfinite(data.points).all()
+    # NCLT scans are metric-scale LiDAR: sane extents
+    extent = data.points.max(0) - data.points.min(0)
+    assert (extent > 1.0).all() and (extent < 1000.0).all()
+
+
+def test_read_facade_scan_rgb():
+    data = pcd.read_pcd(poses_io.reference_cloud_path("Facade", 0))
+    assert data.points.shape == (44728, 3)
+    assert data.colors is not None and data.colors.shape == (44728, 3)
+    assert (data.colors >= 0).all() and (data.colors <= 1).all()
+    assert data.colors.std() > 0.01  # actual color variation decoded
+
+
+def test_write_read_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(1000, 3)).astype(np.float32)
+    cols = rng.uniform(size=(1000, 3)).astype(np.float32)
+    path = tmp_path / "t.pcd"
+    pcd.write_pcd(path, pts, cols)
+    back = pcd.read_pcd(path)
+    np.testing.assert_allclose(back.points, pts, atol=1e-6)
+    np.testing.assert_allclose(back.colors, cols, atol=1 / 255 + 1e-6)
+
+
+def test_padded_cloud():
+    c = cloud.load_cloud(poses_io.reference_cloud_path("NCLT", 0), capacity=32768)
+    assert c.points.shape == (32768, 3)
+    assert int(c.count()) == 18421
+    # padding parked at sentinel
+    assert float(c.masked_points()[-1, 0]) == cloud.PAD_COORD
+
+
+def test_load_reference_relative_circuit():
+    poses = poses_io.load_reference_relative("FGR_GICP", "Facade")
+    assert poses.shape == (7, 4, 4)
+    # homogeneous rows
+    np.testing.assert_allclose(poses[:, 3], np.tile([0, 0, 0, 1], (7, 1)), atol=1e-12)
+    # rotations orthonormal
+    R = poses[:, :3, :3]
+    np.testing.assert_allclose(R @ np.swapaxes(R, -1, -2), np.broadcast_to(np.eye(3), R.shape), atol=1e-6)
+
+
+def test_absolute_fixture_pose0_identity():
+    T = poses_io.load_reference_absolute("Facade")
+    np.testing.assert_allclose(T[0], np.eye(4), atol=1e-9)
+
+
+def test_nclt_circuit_closure_matches_survey():
+    """Recompute the circuit-closure numbers recorded in SURVEY §6 from the
+    shipped fixtures — validates both the loaders and the chain convention."""
+    fgr = poses_io.load_reference_relative("FGR", "NCLT")
+    gicp = poses_io.load_reference_relative("FGR_GICP", "NCLT")
+    for poses, t_expect, r_expect in [(fgr, 104.39, 2.784), (gicp, 40.82, 0.320)]:
+        closure = np.asarray(se3.loop_closure_error(poses))  # numpy f64 host path
+        t_norm = np.linalg.norm(closure[:3, 3])
+        r_norm = np.linalg.norm(closure[:3, :3] - np.eye(3))
+        assert abs(t_norm - t_expect) / t_expect < 0.02, (t_norm, t_expect)
+        assert abs(r_norm - r_expect) / r_expect < 0.05, (r_norm, r_expect)
