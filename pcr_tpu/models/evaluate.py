@@ -1,0 +1,51 @@
+"""Registration evaluation & information matrices (SURVEY N8, N10, P12).
+
+Replaces:
+  * ``o3d.pipelines.registration.evaluate_registration`` (ALL_FUNCTIONS.py:809)
+  * ``get_information_matrix_from_point_clouds`` (3_...py:317-320)
+  * ``calculate_RMSE_and_fitness`` circuit sweep (ALL_FUNCTIONS.py:801-824)
+
+Twist/block ordering is (omega, t) — rotation first — consistent with se3.py
+and the pose-graph solver.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import knn as knn_ops
+from ..utils import se3
+from ..utils.cloud import Cloud
+
+
+@jax.jit
+def evaluate_registration(source: Cloud, target: Cloud, max_dist, T):
+    """fitness = inlier fraction, inlier_rmse over correspondences < max_dist."""
+    p = se3.transform_points(jnp.asarray(T, jnp.float32), source.points)
+    d2, _ = knn_ops.nn1(p, target.points, target.mask)
+    valid = source.mask & (d2 <= jnp.float32(max_dist) ** 2) & (d2 < knn_ops.BIG)
+    n_corr = jnp.sum(valid.astype(jnp.float32))
+    n_src = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
+    fitness = n_corr / n_src
+    rmse = jnp.sqrt(jnp.sum(jnp.where(valid, d2, 0.0)) / jnp.maximum(n_corr, 1.0))
+    return fitness, rmse, n_corr
+
+
+@jax.jit
+def information_matrix(source: Cloud, target: Cloud, max_dist, T):
+    """6x6 information matrix Sum G^T G over inlier correspondences at pose T
+    (Open3D ``get_information_matrix_from_point_clouds`` semantics: G built
+    from the matched *target* points q as [-skew(q) | I])."""
+    p = se3.transform_points(jnp.asarray(T, jnp.float32), source.points)
+    d2, j = knn_ops.nn1(p, target.points, target.mask)
+    valid = source.mask & (d2 <= jnp.float32(max_dist) ** 2) & (d2 < knn_ops.BIG)
+    q = target.points[j]
+    G = jnp.concatenate(
+        [-se3.skew(q), jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), q.shape + (3,))],
+        axis=-1,
+    )  # (N, 3, 6)
+    w = valid.astype(jnp.float32)
+    return jnp.einsum("nij,nik,n->jk", G, G, w)

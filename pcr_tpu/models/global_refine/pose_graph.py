@@ -1,0 +1,207 @@
+"""Pose-graph global optimization (SURVEY N9) — batched NLLS over SE(3) with
+a line process on loop-closure edges, Levenberg-Marquardt damping.
+
+Replaces Open3D's ``global_optimization(GlobalOptimizationLevenbergMarquardt,
+...)`` ("g2o" in the reference, 3_...py:343-354) with the Choi-Zhou-Koltun
+formulation the Open3D optimizer implements:
+
+    E(X, l) = sum_odometry r^T Info r
+            + sum_loop     [ l * r^T Info r + mu * (sqrt(l) - 1)^2 ]
+
+with the closed-form line-process update l = (mu / (mu + r^T Info r))^2 and
+edge residual r = log( T_edge^-1 * X_j^-1 * X_i )  (edge (i, j) stores the
+transform mapping frame i into frame j, matching the reference's inverted
+edges at 3_...py:315, 329).
+
+Conventions:
+  * node poses X_i map cloud i -> world (absolute poses);
+  * node 0 is the reference and stays fixed (option.reference_node=0);
+  * twist/block ordering (omega, t), consistent with se3.py and the
+    information matrices from models.evaluate.
+
+TPU design: per-edge Jacobians via vmapped forward-mode autodiff, Hessian
+blocks scatter-added into a dense (6n, 6n) system (n <= ~1k for the shipped
+circuits; the multi-host path reduces per-shard H/b with psum — see
+``parallel.distributed_pg``), solved with Cholesky.  The LM loop is a
+``lax.while_loop`` with accept/reject damping.
+
+After convergence, uncertain edges whose line-process weight fell below
+``edge_prune_threshold`` are pruned and the graph is re-optimized
+(Open3D's CreatePoseGraphWithoutInvalidEdges pass).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils import se3
+
+
+class PoseGraph(NamedTuple):
+    """Fixed-shape pose graph: n nodes, E edges."""
+
+    nodes: jnp.ndarray        # (n, 4, 4) absolute poses
+    edge_src: jnp.ndarray     # (E,) int32 i
+    edge_dst: jnp.ndarray     # (E,) int32 j
+    edge_T: jnp.ndarray       # (E, 4, 4) transform frame i -> frame j
+    edge_info: jnp.ndarray    # (E, 6, 6) information matrices
+    uncertain: jnp.ndarray    # (E,) bool — loop-closure edges
+    edge_mask: jnp.ndarray    # (E,) bool — live edges (pruning clears)
+
+
+def build_circuit_graph(absolute_poses, relative_poses, info_matrices) -> PoseGraph:
+    """Builds the stage-3 circuit graph (3_...py:307-340): odometry edges
+    (i, i+1) with *inverted* relative poses, one uncertain loop edge (n-1, 0).
+
+    relative_poses[i] is pose_{i+1}_{i} (maps frame i+1 -> i) as stored in the
+    fixture files; the edge transform is its inverse.
+    """
+    n = len(absolute_poses)
+    src = np.arange(n, dtype=np.int32)
+    dst = np.concatenate([np.arange(1, n, dtype=np.int32), [0]])
+    edge_T = np.asarray(se3.invert(np.asarray(relative_poses)))
+    uncertain = np.zeros(n, dtype=bool)
+    uncertain[-1] = True
+    return PoseGraph(
+        nodes=jnp.asarray(absolute_poses, jnp.float32),
+        edge_src=jnp.asarray(src),
+        edge_dst=jnp.asarray(dst),
+        edge_T=jnp.asarray(edge_T, jnp.float32),
+        edge_info=jnp.asarray(info_matrices, jnp.float32),
+        uncertain=jnp.asarray(uncertain),
+        edge_mask=jnp.ones(n, dtype=bool),
+    )
+
+
+def _edge_residual(X_i, X_j, T_edge_inv):
+    return se3.se3_log(T_edge_inv @ se3.invert(X_j) @ X_i)
+
+
+def _edge_residual_perturbed(delta_i, delta_j, X_i, X_j, T_edge_inv):
+    Xi = se3.compose(se3.se3_exp(delta_i), X_i)
+    Xj = se3.compose(se3.se3_exp(delta_j), X_j)
+    return _edge_residual(Xi, Xj, T_edge_inv)
+
+
+_edge_jacobians = jax.vmap(
+    jax.jacfwd(_edge_residual_perturbed, argnums=(0, 1)),
+    in_axes=(0, 0, 0, 0, 0),
+)
+
+
+def _line_process_weights(graph: PoseGraph, nodes, mu):
+    Tinv = se3.invert(graph.edge_T)
+    r = jax.vmap(_edge_residual)(nodes[graph.edge_src], nodes[graph.edge_dst], Tinv)
+    rTr = jnp.einsum("ei,eij,ej->e", r, graph.edge_info, r)
+    l = jnp.square(mu / (mu + rTr))
+    return jnp.where(graph.uncertain, l, 1.0), r, rTr
+
+
+def _total_cost(graph, nodes, mu):
+    w, _, rTr = _line_process_weights(graph, nodes, mu)
+    m = graph.edge_mask.astype(jnp.float32)
+    data = jnp.sum(m * w * rTr)
+    prior = jnp.sum(
+        m * graph.uncertain.astype(jnp.float32) * mu * jnp.square(jnp.sqrt(w) - 1.0)
+    )
+    return data + prior
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def optimize_pose_graph_once(
+    graph: PoseGraph,
+    mu: float = 1.0,
+    max_iterations: int = 100,
+    rel_tol: float = 1e-9,
+):
+    """One line-process LM optimization pass. Returns (nodes, final cost)."""
+    n = graph.nodes.shape[0]
+    zeros6 = jnp.zeros((graph.edge_src.shape[0], 6), jnp.float32)
+    Tinv = se3.invert(graph.edge_T)
+
+    def build_system(nodes):
+        w, r, _ = _line_process_weights(graph, nodes, mu)
+        w = w * graph.edge_mask.astype(jnp.float32)
+        Ji, Jj = _edge_jacobians(zeros6, zeros6, nodes[graph.edge_src], nodes[graph.edge_dst], Tinv)
+        LJi = jnp.einsum("e,eij,ejk->eik", w, graph.edge_info, Ji)
+        LJj = jnp.einsum("e,eij,ejk->eik", w, graph.edge_info, Jj)
+        Hii = jnp.einsum("eji,ejk->eik", Ji, LJi)
+        Hjj = jnp.einsum("eji,ejk->eik", Jj, LJj)
+        Hij = jnp.einsum("eji,ejk->eik", Ji, LJj)
+        bi = jnp.einsum("eji,ej->ei", LJi, r)
+        bj = jnp.einsum("eji,ej->ei", LJj, r)
+
+        H = jnp.zeros((n, 6, n, 6), jnp.float32)
+        src, dst = graph.edge_src, graph.edge_dst
+        H = H.at[src, :, src, :].add(Hii)
+        H = H.at[dst, :, dst, :].add(Hjj)
+        H = H.at[src, :, dst, :].add(Hij)
+        H = H.at[dst, :, src, :].add(jnp.swapaxes(Hij, -1, -2))
+        b = jnp.zeros((n, 6), jnp.float32)
+        b = b.at[src].add(bi)
+        b = b.at[dst].add(bj)
+        return H.reshape(6 * n, 6 * n), b.reshape(6 * n)
+
+    def cost_of(nodes):
+        return _total_cost(graph, nodes, mu)
+
+    def body(state):
+        nodes, lam, cost, it, done = state
+        H, b = build_system(nodes)
+        # Gauge fix: node 0 (reference_node=0) is excluded from the solve.
+        Hr = H[6:, 6:]
+        br = b[6:]
+        Hd = Hr + lam * jnp.diag(jnp.diag(Hr) + 1e-12)
+        delta = jnp.concatenate([jnp.zeros(6, jnp.float32), -jnp.linalg.solve(Hd, br)])
+        delta = delta.reshape(n, 6)
+        new_nodes = jax.vmap(lambda d, X: se3.compose(se3.se3_exp(d), X))(delta, nodes)
+        new_cost = cost_of(new_nodes)
+        improved = new_cost < cost
+        nodes = jnp.where(improved, new_nodes, nodes)
+        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-12, 1e8)
+        converged = improved & (jnp.abs(cost - new_cost) < rel_tol * (cost + 1e-12))
+        stalled = lam >= 1e8
+        return (nodes, lam, jnp.minimum(new_cost, cost), it + 1, converged | stalled)
+
+    def cond(state):
+        _, _, _, it, done = state
+        return (it < max_iterations) & ~done
+
+    init = (graph.nodes, jnp.float32(1e-6), cost_of(graph.nodes), 0, False)
+    nodes, _, cost, _, _ = jax.lax.while_loop(cond, body, init)
+    return nodes, cost
+
+
+def global_optimization(
+    graph: PoseGraph,
+    max_correspondence_distance: float = 0.2,
+    edge_prune_threshold: float = 0.25,
+    preference_loop_closure: float = 1.0,
+    max_iterations: int = 100,
+) -> PoseGraph:
+    """Full Open3D-style pass (3_...py:343-354): optimize, prune uncertain
+    edges with line-process weight < edge_prune_threshold, re-optimize.
+
+    The line-process scale mu must match the magnitude of r^T Info r, and the
+    information matrices are sums over all inlier correspondences (their
+    translation diagonal = n_corr * I).  Like Open3D's line_process_weight, we
+    set mu = preference * max_corr_dist^2 * mean(n_corr over loop edges), so a
+    loop edge whose metric residual is well under max_corr_dist keeps l ~ 1.
+    """
+    tr = jnp.einsum("eii->e", graph.edge_info[:, 3:6, 3:6]) / 3.0
+    unc = graph.uncertain.astype(jnp.float32)
+    n_corr_mean = jnp.sum(tr * unc) / jnp.maximum(jnp.sum(unc), 1.0)
+    n_corr_mean = jnp.maximum(n_corr_mean, 1.0)
+    mu = preference_loop_closure * max_correspondence_distance**2 * n_corr_mean
+    nodes, _ = optimize_pose_graph_once(graph, mu=mu, max_iterations=max_iterations)
+    w, _, _ = _line_process_weights(graph, nodes, mu)
+    keep = (~graph.uncertain) | (w >= edge_prune_threshold)
+    pruned = graph._replace(nodes=nodes, edge_mask=graph.edge_mask & keep)
+    nodes, _ = optimize_pose_graph_once(pruned, mu=mu, max_iterations=max_iterations)
+    return pruned._replace(nodes=nodes)

@@ -37,7 +37,7 @@ def _pad_rows(x: jnp.ndarray, to: int, value) -> jnp.ndarray:
 
 
 def _chunk_sqdist(q: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """(Tq, 3) x (C, 3) -> (Tq, C) squared distances via MXU matmul."""
+    """(Tq, D) x (C, D) -> (Tq, C) squared distances via MXU matmul."""
     qn = jnp.sum(q * q, axis=-1, keepdims=True)
     rn = jnp.sum(r * r, axis=-1)
     cross = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
@@ -62,7 +62,8 @@ def knn(
     q_tile: int = 512,
     r_chunk: int = 4096,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact k-NN of `query` (Nq, 3) in `ref` (Nr, 3).
+    """Exact k-NN of `query` (Nq, D) in `ref` (Nr, D) for any feature dim D
+    (D=3 for points, D=33 for FPFH feature matching in FGR).
 
     Returns (sqdists (Nq, k) ascending, indices (Nq, k) int32). Entries beyond
     the number of valid reference points get sqdist >= BIG and index of the
@@ -78,9 +79,10 @@ def knn(
     rp = _pad_rows(ref, nr_pad, 0.0)
     rmask = _pad_rows(ref_mask, nr_pad, False)
 
-    r_chunks = rp.reshape(nr_pad // r_chunk, r_chunk, 3)
+    dim = query.shape[1]
+    r_chunks = rp.reshape(nr_pad // r_chunk, r_chunk, dim)
     m_chunks = rmask.reshape(nr_pad // r_chunk, r_chunk)
-    q_tiles = qp.reshape(nq_pad // q_tile, q_tile, 3)
+    q_tiles = qp.reshape(nq_pad // q_tile, q_tile, dim)
     qidx_tiles = jnp.arange(nq_pad, dtype=jnp.int32).reshape(nq_pad // q_tile, q_tile)
 
     def per_tile(tile):
@@ -106,7 +108,7 @@ def knn(
         chunk_ids = jnp.arange(nr_pad // r_chunk, dtype=jnp.int32)
         (best_d, best_i), _ = jax.lax.scan(scan_chunk, init, (r_chunks, m_chunks, chunk_ids))
         # Exact re-score + re-sort of the k winners
-        cand = rp[best_i]  # (q_tile, k, 3)
+        cand = rp[best_i]  # (q_tile, k, dim)
         d_exact = exact_sqdist(q[:, None, :], cand)
         d_exact = jnp.where(best_d >= BIG, BIG, d_exact)
         order = jnp.argsort(d_exact, axis=1)
@@ -141,9 +143,10 @@ def nn1(
     rp = _pad_rows(ref, nr_pad, 0.0)
     rmask = _pad_rows(ref_mask, nr_pad, False)
 
-    r_chunks = rp.reshape(nr_pad // r_chunk, r_chunk, 3)
+    dim = query.shape[1]
+    r_chunks = rp.reshape(nr_pad // r_chunk, r_chunk, dim)
     m_chunks = rmask.reshape(nr_pad // r_chunk, r_chunk)
-    q_tiles = qp.reshape(nq_pad // q_tile, q_tile, 3)
+    q_tiles = qp.reshape(nq_pad // q_tile, q_tile, dim)
 
     def per_tile(q):
         def scan_chunk(carry, inp):

@@ -106,6 +106,31 @@ def load_dataset(dataset: str, indices=None, capacity: int | None = None) -> lis
             for i in indices]
 
 
+def compact(c: Cloud, capacity: int) -> Cloud:
+    """Permute valid points to the front and slice to a smaller static capacity.
+
+    Used by the multiscale pyramid: after voxel downsampling at a coarse scale
+    only a few % of slots are valid, and neighbor search is O(N_src * N_tgt) in
+    the static capacity.  Points beyond `capacity` valid ones are dropped
+    (callers pick capacities with headroom; the mask records the true count).
+    """
+    order = jnp.argsort(~c.mask, stable=True)  # valid first, stable
+
+    def take(x):
+        return None if x is None else x[order][:capacity]
+
+    pts = take(c.points)
+    msk = c.mask[order][:capacity]
+    pts = jnp.where(msk[:, None], pts, PAD_COORD)
+    return Cloud(
+        points=pts,
+        mask=msk,
+        normals=take(c.normals),
+        covariances=take(c.covariances),
+        colors=take(c.colors),
+    )
+
+
 def stack_clouds(clouds: list[Cloud]) -> Cloud:
     """Stack same-capacity clouds into a batched Cloud with leading dim B."""
     def _stack(*xs):

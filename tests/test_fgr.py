@@ -1,0 +1,84 @@
+"""FGR tests: matching, tuple test, GNC convergence on synthetic + real data."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pcr_tpu.models import fgr
+from pcr_tpu.utils import cloud, se3
+from tests.conftest import random_rotation
+
+
+def test_match_features_mutual(rng):
+    f = rng.normal(size=(50, 33)).astype(np.float32)
+    perm = rng.permutation(50)
+    fa = cloud.from_numpy(np.zeros((50, 3), np.float32), capacity=64)
+    # identical features permuted -> mutual matches recover the permutation
+    feat_a = np.zeros((64, 33), np.float32); feat_a[:50] = f
+    feat_b = np.zeros((64, 33), np.float32); feat_b[:50] = f[perm] + 0.001 * rng.normal(size=(50, 33))
+    ci, cj, m = fgr.match_features(jnp.asarray(feat_a), fa.mask, jnp.asarray(feat_b), fa.mask)
+    ci, cj, m = np.asarray(ci), np.asarray(cj), np.asarray(m)
+    inv = np.argsort(perm)
+    assert m[:50].mean() > 0.9
+    matched = m[:50]
+    np.testing.assert_array_equal(cj[:50][matched], inv[matched])
+
+
+def test_tuple_test_filters_bad_pairs(rng):
+    n = 100
+    pts_src = rng.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+    R = random_rotation(rng).astype(np.float32)
+    t = np.array([1.0, -2.0, 0.5], np.float32)
+    pts_tgt = pts_src @ R.T + t
+    # corrupt 30 correspondences to random targets (wrong geometry)
+    corr_j = np.arange(n, dtype=np.int32)
+    bad = rng.choice(n, size=30, replace=False)
+    corr_j[bad] = rng.permutation(n)[:30]
+    keep = fgr.tuple_test(
+        jnp.asarray(pts_src), jnp.asarray(pts_tgt),
+        jnp.arange(n, dtype=jnp.int32), jnp.asarray(corr_j),
+        jnp.ones(n, dtype=bool), seed=0, max_tuples=512, n_trials=4096,
+    )
+    keep = np.asarray(keep)
+    good = np.setdiff1d(np.arange(n), bad[corr_j[bad] != bad])
+    truly_bad = bad[corr_j[bad] != bad]
+    assert keep[good].mean() > 0.9          # good pairs survive
+    assert keep[truly_bad].mean() < 0.3     # corrupted pairs mostly culled
+
+
+def test_fgr_gnc_recovers_pose(rng):
+    n = 400
+    pts = rng.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+    R = random_rotation(rng).astype(np.float32)
+    t = np.array([0.5, -1.0, 2.0], np.float32)
+    src = cloud.from_numpy(pts, capacity=512)
+    tgt = cloud.from_numpy((pts @ R.T + t).astype(np.float32), capacity=512)
+    T_gt = np.eye(4, dtype=np.float32); T_gt[:3, :3] = R; T_gt[:3, 3] = t
+    corr = jnp.arange(512, dtype=jnp.int32)
+    opts = fgr.FgrOptions(maximum_correspondence_distance=0.2, iteration_number=128)
+    T = np.asarray(fgr.fgr_from_correspondences(src, tgt, corr, corr, src.mask, opts))
+    dR, dt = se3.pose_errors(T, T_gt)
+    assert float(dt) < 1e-2, (T, T_gt)
+    assert float(dR) < 1e-2
+
+
+def test_fgr_gnc_robust_to_outlier_matches(rng):
+    """GNC must reject 40% wrong correspondences."""
+    n = 400
+    pts = rng.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+    R = random_rotation(rng).astype(np.float32)
+    t = np.array([0.3, 0.7, -0.2], np.float32)
+    src = cloud.from_numpy(pts, capacity=512)
+    tgt = cloud.from_numpy((pts @ R.T + t).astype(np.float32), capacity=512)
+    T_gt = np.eye(4, dtype=np.float32); T_gt[:3, :3] = R; T_gt[:3, 3] = t
+    corr_j = np.arange(512, dtype=np.int32)
+    bad = rng.choice(n, size=160, replace=False)
+    corr_j[bad] = rng.integers(0, n, size=160)
+    opts = fgr.FgrOptions(maximum_correspondence_distance=0.2, iteration_number=256)
+    T = np.asarray(
+        fgr.fgr_from_correspondences(
+            src, tgt, jnp.arange(512, dtype=jnp.int32), jnp.asarray(corr_j), src.mask, opts
+        )
+    )
+    dR, dt = se3.pose_errors(T, T_gt)
+    assert float(dt) < 0.05, float(dt)
+    assert float(dR) < 0.05

@@ -1,0 +1,198 @@
+"""Global refinement tests: closed forms on synthetic circuits, LUM vs dense
+oracle, pose-graph LM closing a perturbed loop, NCLT fixture smoke."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pcr_tpu.models.global_refine import closed_form, pose_graph
+from pcr_tpu.utils import poses_io, quaternion as quat, se3
+from tests.conftest import random_rotation
+
+
+def make_circuit(rng, n, noise_rot=0.0, noise_t=0.0):
+    """n-1 random relative poses + the closing pose computed such that the
+    reference-convention chain returns to identity; optional noise."""
+    T = [np.eye(4) for _ in range(n)]
+    for i in range(n - 1):
+        T[i][:3, :3] = random_rotation(rng)
+        T[i][:3, 3] = rng.normal(size=3)
+    # chain with the reference convention to find what the closer must undo
+    R_cum = np.eye(3)
+    for i in range(n - 1):
+        R_cum = T[i][:3, :3] @ R_cum
+    # rotation that closes the loop: R_last @ R_cum = I
+    T[n - 1][:3, :3] = R_cum.T
+    # translation closure: t_closure = t_0 + sum R_cum[i-1] t_i  must be 0
+    acc = np.eye(3)
+    t_sum = T[0][:3, 3].copy()
+    Rc = []
+    accs = np.eye(3)
+    for i in range(n):
+        accs = T[i][:3, :3] @ accs
+        Rc.append(accs.copy())
+    for i in range(1, n - 1):
+        t_sum += Rc[i - 1] @ T[i][:3, 3]
+    T[n - 1][:3, 3] = -np.linalg.solve(Rc[n - 2], t_sum)
+    # verify closure
+    closure = np.asarray(se3.loop_closure_error(np.stack(T)))
+    assert np.abs(closure - np.eye(4)).max() < 1e-8, closure
+    # add noise
+    for i in range(n):
+        w = rng.normal(size=3) * noise_rot
+        T[i][:3, :3] = T[i][:3, :3] @ np.asarray(se3.so3_exp(jnp.asarray(w, jnp.float64 if False else jnp.float32)))
+        T[i][:3, 3] += rng.normal(size=3) * noise_t
+    return np.stack(T)
+
+
+def np_lum_oracle(T_rel):
+    """Dense oracle transcribing the LUM math (3_...py:191-219)."""
+    n = len(T_rel)
+    R_abs = [np.eye(3)]
+    acc = np.eye(3)
+    for i in range(n - 1):
+        acc = T_rel[i][:3, :3] @ acc
+        R_abs.append(acc.copy())
+    Lb = np.concatenate([R_abs[i] @ T_rel[i][:3, 3] for i in range(n)])
+    A = np.zeros((3 * n, 3 * (n - 1)))
+    for j in range(n - 1):
+        A[3 * j : 3 * j + 3, 3 * j : 3 * j + 3] = np.eye(3)
+        A[3 * j + 3 : 3 * j + 6, 3 * j : 3 * j + 3] = -np.eye(3)
+    X = np.linalg.solve(A.T @ A, A.T @ Lb)
+    poses = [np.eye(4)]
+    for i in range(1, n):
+        P = np.eye(4)
+        P[:3, :3] = R_abs[i]
+        P[:3, 3] = X[3 * (i - 1) : 3 * i]
+        poses.append(P)
+    return np.stack(poses)
+
+
+def test_lum_matches_dense_oracle(rng):
+    T_rel = make_circuit(rng, 12, noise_t=0.05)
+    ours = np.asarray(closed_form.refine_lum(T_rel))
+    oracle = np_lum_oracle(T_rel)
+    np.testing.assert_allclose(ours, oracle, atol=1e-8)
+
+
+def test_lum_perfect_circuit_reproduces_chain(rng):
+    """On a noise-free circuit LUM must return the plain chained poses."""
+    T_rel = make_circuit(rng, 10)
+    lum = np.asarray(closed_form.refine_lum(T_rel))
+    chained = np.asarray(se3.relative_to_absolute(T_rel))
+    np.testing.assert_allclose(lum, chained, atol=1e-6)
+
+
+def test_slerp_perfect_circuit_identity_rotations(rng):
+    T_rel = make_circuit(rng, 8)
+    out = np.asarray(closed_form.refine_slerp(T_rel))
+    chained = np.asarray(se3.relative_to_absolute(T_rel))
+    # perfect circuit -> slerp(a, a, t) = a -> rotations match plain chain
+    np.testing.assert_allclose(out[:, :3, :3], chained[:, :3, :3], atol=1e-4)
+    assert np.abs(out[0] - np.eye(4)).max() < 1e-6
+
+
+def test_slerp_distributes_closure_error(rng):
+    """With rotation noise, the slerp-adjusted circuit must close better than
+    the raw chain."""
+    T_rel = make_circuit(rng, 20, noise_rot=0.01)
+    raw_closure = np.asarray(se3.loop_closure_error(T_rel))
+    out = np.asarray(closed_form.refine_slerp(T_rel))
+    # rebuild relative rotations from adjusted absolutes; the implied closure
+    # rotation of the adjusted chain:
+    R_err_raw = np.linalg.norm(raw_closure[:3, :3] - np.eye(3))
+    # adjusted: last node's rotation composed with the last relative rotation
+    # should return near the identity
+    R_last = T_rel[-1][:3, :3] @ out[-1][:3, :3]
+    R_err_adj = np.linalg.norm(R_last - np.eye(3))
+    assert R_err_adj < R_err_raw * 0.6, (R_err_adj, R_err_raw)
+
+
+def test_slerp_lum_perfect_circuit(rng):
+    T_rel = make_circuit(rng, 10)
+    out = np.asarray(closed_form.refine_slerp_lum(T_rel))
+    chained = np.asarray(se3.relative_to_absolute(T_rel))
+    np.testing.assert_allclose(out, chained, atol=1e-4)
+
+
+def test_weighted_lum_matches_unweighted_for_uniform(rng):
+    T_rel = make_circuit(rng, 9, noise_t=0.02)
+    a = np.asarray(closed_form.refine_lum(T_rel))
+    b = np.asarray(closed_form.refine_lum(T_rel, weights=np.ones(9)))
+    np.testing.assert_allclose(a, b, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Pose graph
+# ---------------------------------------------------------------------------
+
+def make_pose_graph(rng, n, drift=0.05):
+    """Ground-truth circle of poses; odometry measurements with drift; one
+    perfect loop-closure edge."""
+    # ground truth nodes on a circle
+    gt = []
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(se3.so3_exp(jnp.asarray([0, 0, ang], jnp.float32)))
+        T[:3, 3] = [np.cos(ang), np.sin(ang), 0.0]
+        gt.append(T)
+    gt = np.stack(gt).astype(np.float32)
+    # edges (i -> i+1) transform frame i into frame i+1: T = X_{i+1}^-1 X_i
+    edge_T, infos, rels = [], [], []
+    for i in range(n):
+        j = (i + 1) % n
+        T_ij = np.linalg.inv(gt[j]) @ gt[i]
+        if j != 0:  # odometry edges get noise (drift)
+            w = rng.normal(size=3) * drift * 0.2
+            t = rng.normal(size=3) * drift
+            noise = np.asarray(se3.se3_exp(jnp.asarray(np.concatenate([w, t]), jnp.float32)))
+            T_ij = noise @ T_ij
+        edge_T.append(T_ij)
+        infos.append(np.eye(6, dtype=np.float32) * 100.0)
+    edge_T = np.stack(edge_T).astype(np.float32)
+    # initial nodes: integrate noisy odometry
+    nodes = [np.eye(4, dtype=np.float32)]
+    for i in range(n - 1):
+        nodes.append((nodes[-1] @ np.linalg.inv(edge_T[i])).astype(np.float32))
+    nodes = np.stack(nodes)
+    graph = pose_graph.PoseGraph(
+        nodes=jnp.asarray(nodes),
+        edge_src=jnp.asarray(np.arange(n, dtype=np.int32)),
+        edge_dst=jnp.asarray(np.concatenate([np.arange(1, n), [0]]).astype(np.int32)),
+        edge_T=jnp.asarray(edge_T),
+        edge_info=jnp.asarray(np.stack(infos)),
+        uncertain=jnp.asarray(np.arange(n) == n - 1),
+        edge_mask=jnp.ones(n, dtype=bool),
+    )
+    return graph, gt
+
+
+def test_pose_graph_closes_loop(rng):
+    graph, gt = make_pose_graph(rng, 12, drift=0.03)
+    # before: drift accumulates to a visible gap at the loop edge
+    before = np.asarray(graph.nodes)
+    out = pose_graph.global_optimization(graph, max_correspondence_distance=0.5)
+    after = np.asarray(out.nodes)
+
+    def loop_gap(nodes):
+        # residual of the loop edge (n-1 -> 0)
+        T = np.asarray(graph.edge_T[-1])
+        r = np.linalg.inv(T) @ np.linalg.inv(nodes[0]) @ nodes[-1]
+        return np.linalg.norm(r[:3, 3])
+
+    assert loop_gap(after) < loop_gap(before) * 0.2, (loop_gap(before), loop_gap(after))
+    # node 0 stays fixed
+    np.testing.assert_allclose(after[0], np.eye(4), atol=1e-5)
+
+
+def test_pose_graph_prunes_bad_loop_edge(rng):
+    graph, gt = make_pose_graph(rng, 10, drift=0.01)
+    # corrupt the loop edge grossly -> line process should prune it
+    bad_T = np.asarray(graph.edge_T).copy()
+    bad_T[-1][:3, 3] += np.array([5.0, -3.0, 2.0], np.float32)
+    graph = graph._replace(edge_T=jnp.asarray(bad_T))
+    out = pose_graph.global_optimization(graph, max_correspondence_distance=0.1)
+    assert not bool(np.asarray(out.edge_mask)[-1])  # pruned
+    # nodes barely moved (odometry-only solution retained)
+    np.testing.assert_allclose(np.asarray(out.nodes), np.asarray(graph.nodes), atol=0.05)
