@@ -112,14 +112,25 @@ def _total_cost(graph, nodes, mu):
     return data + prior
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _psum(x, axis_name):
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations", "axis_name"))
 def optimize_pose_graph_once(
     graph: PoseGraph,
     mu: float = 1.0,
     max_iterations: int = 100,
     rel_tol: float = 1e-9,
+    axis_name: str | None = None,
 ):
-    """One line-process LM optimization pass. Returns (nodes, final cost)."""
+    """One line-process LM optimization pass. Returns (nodes, final cost).
+
+    With ``axis_name`` set (inside shard_map over an edge-sharded graph), each
+    device builds H/b from its local edge shard and the normal equations are
+    all-reduced with psum — the distributed pose-graph solve of SURVEY §2.4.
+    Nodes are replicated; the solve is identical on every device.
+    """
     n = graph.nodes.shape[0]
     zeros6 = jnp.zeros((graph.edge_src.shape[0], 6), jnp.float32)
     Tinv = se3.invert(graph.edge_T)
@@ -145,10 +156,11 @@ def optimize_pose_graph_once(
         b = jnp.zeros((n, 6), jnp.float32)
         b = b.at[src].add(bi)
         b = b.at[dst].add(bj)
-        return H.reshape(6 * n, 6 * n), b.reshape(6 * n)
+        H, b = _psum((H.reshape(6 * n, 6 * n), b.reshape(6 * n)), axis_name)
+        return H, b
 
     def cost_of(nodes):
-        return _total_cost(graph, nodes, mu)
+        return _psum(_total_cost(graph, nodes, mu), axis_name)
 
     def body(state):
         nodes, lam, cost, it, done = state

@@ -1,0 +1,100 @@
+"""Distributed pose-graph solve: edges sharded over the mesh, normal equations
+all-reduced with psum (SURVEY §2.4 / BASELINE north star).
+
+Each device holds an edge shard (padded with masked-out edges), builds its
+local (6n, 6n) H and (6n,) b contributions inside
+``optimize_pose_graph_once(axis_name='pairs')``, psums them over ICI, and runs
+the identical LM update replicated — so the result equals the single-device
+solve bit-for-bit up to reduction order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.global_refine import pose_graph as pg
+
+
+def pad_edges(graph: pg.PoseGraph, multiple: int) -> pg.PoseGraph:
+    """Pad the edge arrays to a multiple of the mesh axis with dead edges."""
+    E = graph.edge_src.shape[0]
+    E_pad = ((E + multiple - 1) // multiple) * multiple
+    if E_pad == E:
+        return graph
+    pad = E_pad - E
+
+    def padi(x, value=0):
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], value, x.dtype)])
+
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (pad, 4, 4))
+    return graph._replace(
+        edge_src=padi(graph.edge_src),
+        edge_dst=padi(graph.edge_dst),
+        edge_T=jnp.concatenate([graph.edge_T, eye]),
+        edge_info=jnp.concatenate(
+            [graph.edge_info, jnp.zeros((pad, 6, 6), jnp.float32)]
+        ),
+        uncertain=padi(graph.uncertain, False),
+        edge_mask=padi(graph.edge_mask, False),
+    )
+
+
+def distributed_optimize(
+    mesh: Mesh,
+    graph: pg.PoseGraph,
+    mu: float = 1.0,
+    max_iterations: int = 100,
+) -> jnp.ndarray:
+    """Edge-sharded LM pass; returns optimized nodes (replicated)."""
+    n_dev = mesh.shape["pairs"]
+    graph = pad_edges(graph, n_dev)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(pg.PoseGraph(
+            nodes=P(), edge_src=P("pairs"), edge_dst=P("pairs"), edge_T=P("pairs"),
+            edge_info=P("pairs"), uncertain=P("pairs"), edge_mask=P("pairs"),
+        ),),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(g: pg.PoseGraph):
+        nodes, cost = pg.optimize_pose_graph_once(
+            g, mu=mu, max_iterations=max_iterations, axis_name="pairs"
+        )
+        return nodes
+
+    return run(graph)
+
+
+def distributed_global_optimization(
+    mesh: Mesh,
+    graph: pg.PoseGraph,
+    max_correspondence_distance: float = 0.2,
+    edge_prune_threshold: float = 0.25,
+    preference_loop_closure: float = 1.0,
+    max_iterations: int = 100,
+) -> pg.PoseGraph:
+    """Distributed version of models.global_refine.global_optimization:
+    optimize -> prune uncertain edges by line-process weight -> re-optimize."""
+    tr = jnp.einsum("eii->e", graph.edge_info[:, 3:6, 3:6]) / 3.0
+    unc = graph.uncertain.astype(jnp.float32)
+    n_corr_mean = jnp.maximum(
+        jnp.sum(tr * unc) / jnp.maximum(jnp.sum(unc), 1.0), 1.0
+    )
+    mu = preference_loop_closure * max_correspondence_distance**2 * n_corr_mean
+
+    nodes = distributed_optimize(mesh, graph, mu=mu, max_iterations=max_iterations)
+    # Drop the explicit mesh sharding before mixing with host-side arrays
+    nodes = jnp.asarray(np.asarray(nodes))
+    w, _, _ = pg._line_process_weights(graph, nodes, mu)
+    keep = (~graph.uncertain) | (w >= edge_prune_threshold)
+    pruned = graph._replace(nodes=nodes, edge_mask=graph.edge_mask & keep)
+    nodes = distributed_optimize(mesh, pruned, mu=mu, max_iterations=max_iterations)
+    return pruned._replace(nodes=nodes)

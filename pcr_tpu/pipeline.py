@@ -1,0 +1,211 @@
+"""End-to-end pipeline: the three reference stages as batched, restartable
+runners (SURVEY §3), plus the k-connectivity graph mode (P6).
+
+Stage contract (SURVEY §5.4 — kept from the reference): every stage persists
+poses as ``pose_{i+1}_{i}.txt`` / ``pose{i}.txt`` text files and the next
+stage reloads them, so the pipeline is restartable at stage granularity and
+interoperable with the reference's own fixture files.
+
+  stage 1  FGR over all circuit pairs        (1_FGR_pairwise_registration...)
+  stage 2  M-GICP refinement of stage-1 poses (2_MGICP_refinement...)
+  stage 3  global refinement: LUM / SLERP / SLERP+LUM / pose-graph LM
+           (3_Global_Optimizations...)
+
+Pairs are processed in device-sized batches: clouds are padded to the dataset
+bucket, stacked, and the batch is vmapped (and, when a mesh is given,
+shard_mapped over the ``pairs`` axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import evaluate as eval_mod
+from .models import fgr as fgr_mod
+from .models import multiscale as ms_mod
+from .models.global_refine import closed_form, pose_graph as pg_mod
+from .parallel import pair_sharding
+from .utils import cloud as cloud_mod
+from .utils import poses_io, se3
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Defaults are the reference's constants (SURVEY §3, §5 config table)."""
+
+    dataset: str = "Facade"
+    voxel_size: float = 0.1          # 1_...py:131
+    fgr_iterations: int = 300        # 1_...py:57
+    fgr_seed: int = 0
+    mgicp_scales: int = 5            # 2_...py:185
+    mgicp_iterations: int = 100      # 2_...py:184
+    fitness_gate: float = 0.40       # ALL_FUNCTIONS.py:369
+    batch_size: int = 2              # pairs per device batch
+    scale_capacities: tuple | None = None
+    output_root: str = "outputs"
+
+    def out_dir(self, stage: str) -> str:
+        return os.path.join(self.output_root, stage, self.dataset)
+
+
+def circuit_pairs(n: int) -> list[tuple[int, int]]:
+    """(source, target) scan indices for the closed circuit: (1,0), (2,1),
+    ..., (0, n-1) — the reference's loop incl. wraparound (1_...py:134-147)."""
+    return [((i + 1) % n, i) for i in range(n)]
+
+
+class PairMetrics:
+    """Per-pair structured metrics log (SURVEY §5 observability)."""
+
+    def __init__(self):
+        self.rows = []
+
+    def add(self, stage, src, tgt, fitness, rmse, seconds, **extra):
+        self.rows.append(
+            dict(stage=stage, src=int(src), tgt=int(tgt), fitness=float(fitness),
+                 rmse=float(rmse), seconds=float(seconds), **extra)
+        )
+
+    def save(self, path):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as fh:
+            for row in self.rows:
+                fh.write(json.dumps(row) + "\n")
+
+    def success_rate(self, gate: float) -> float:
+        if not self.rows:
+            return 0.0
+        ok = sum(1 for r in self.rows if r["fitness"] > gate)
+        return ok / len(self.rows)
+
+
+def _load_circuit_clouds(cfg: PipelineConfig, indices=None) -> list[cloud_mod.Cloud]:
+    return cloud_mod.load_dataset(cfg.dataset, indices=indices)
+
+
+def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
+                   metrics: PairMetrics | None = None) -> np.ndarray:
+    """FGR over all circuit pairs; returns (n, 4, 4) relative poses and writes
+    them in the reference layout."""
+    n = n or poses_io.CIRCUIT_SIZES[cfg.dataset]
+    clouds = clouds or _load_circuit_clouds(cfg, range(n))
+    metrics = metrics if metrics is not None else PairMetrics()
+    poses = []
+    for src_i, tgt_i in circuit_pairs(n):
+        t0 = time.time()
+        res = fgr_mod.registro_fgr(
+            clouds[src_i], clouds[tgt_i], cfg.voxel_size, seed=cfg.fgr_seed + src_i
+        )
+        T = np.asarray(res.transformation, np.float64)
+        poses.append(T)
+        metrics.add("fgr", src_i, tgt_i, res.fitness, res.inlier_rmse, time.time() - t0)
+    poses = np.stack(poses)
+    poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR"), poses)
+    metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"))
+    return poses
+
+
+def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
+                     clouds=None, n: int | None = None, mesh=None,
+                     metrics: PairMetrics | None = None) -> np.ndarray:
+    """M-GICP refinement of the stage-1 poses over all circuit pairs.
+
+    Pairs run in batches of cfg.batch_size via vmap; with ``mesh`` given the
+    batch is shard_mapped over the 'pairs' axis.
+    """
+    n = n or poses_io.CIRCUIT_SIZES[cfg.dataset]
+    clouds = clouds or _load_circuit_clouds(cfg, range(n))
+    if init_poses is None:
+        init_poses = poses_io.load_relative_circuit(cfg.out_dir("relative_poses_FGR"), n)
+    metrics = metrics if metrics is not None else PairMetrics()
+    pairs = circuit_pairs(n)
+    B = cfg.batch_size
+    out = np.zeros((n, 4, 4))
+    for start in range(0, n, B):
+        chunk = pairs[start : start + B]
+        # pad the tail chunk by repeating the last pair
+        pad = B - len(chunk)
+        chunk = chunk + [chunk[-1]] * pad
+        t0 = time.time()
+        src = cloud_mod.stack_clouds([clouds[s] for s, _ in chunk])
+        tgt = cloud_mod.stack_clouds([clouds[t] for _, t in chunk])
+        T0 = jnp.asarray(
+            np.stack([init_poses[(start + k) % n] for k in range(len(chunk))]),
+            jnp.float32,
+        )
+        kw = dict(
+            n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations,
+            scale_capacities=cfg.scale_capacities,
+        )
+        if mesh is not None:
+            res = pair_sharding.sharded_mgicp(mesh, src, tgt, T0, **kw)
+        else:
+            res = pair_sharding.batched_mgicp(src, tgt, T0, **kw)
+        T_batch = np.asarray(res.transformation, np.float64)
+        fit = np.asarray(res.fitness)
+        rmse = np.asarray(res.inlier_rmse)
+        dt = (time.time() - t0) / max(len(chunk) - pad, 1)
+        for k, (s, t) in enumerate(chunk[: len(chunk) - pad]):
+            out[start + k] = T_batch[k]
+            metrics.add("mgicp", s, t, fit[k], rmse[k], dt)
+    poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR_GICP"), out)
+    abs_poses = se3.relative_to_absolute(out)
+    poses_io.save_absolute_poses(cfg.out_dir("absolute_poses_FGR_GICP"), np.asarray(abs_poses))
+    metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"))
+    return out
+
+
+def run_stage3_global(cfg: PipelineConfig, relative_poses: np.ndarray | None = None,
+                      clouds=None, n: int | None = None,
+                      methods=("LUM", "SLERP", "SLERP_LUM", "pose_graph")) -> dict:
+    """Global refinement shoot-out (3_...py): all four methods on the same
+    relative poses.  Returns {method: (n, 4, 4) absolute poses}."""
+    n = n or poses_io.CIRCUIT_SIZES[cfg.dataset]
+    if relative_poses is None:
+        relative_poses = poses_io.load_relative_circuit(
+            cfg.out_dir("relative_poses_FGR_GICP"), n
+        )
+    results = {}
+    if "LUM" in methods:
+        results["LUM"] = np.asarray(closed_form.refine_lum(relative_poses))
+    if "SLERP" in methods:
+        results["SLERP"] = np.asarray(closed_form.refine_slerp(relative_poses))
+    if "SLERP_LUM" in methods:
+        results["SLERP_LUM"] = np.asarray(closed_form.refine_slerp_lum(relative_poses))
+    if "pose_graph" in methods:
+        clouds = clouds or _load_circuit_clouds(cfg, range(n))
+        abs_poses = np.asarray(se3.relative_to_absolute(relative_poses))
+        infos = []
+        for (src_i, tgt_i), T in zip(circuit_pairs(n), relative_poses):
+            # info matrix at the *inverted* edge pose, as stage 3 does
+            # (3_...py:315-320): clouds[i] -> clouds[i+1] with T_{i->i+1}
+            T_edge = np.asarray(se3.invert(T))
+            infos.append(
+                np.asarray(
+                    eval_mod.information_matrix(
+                        clouds[tgt_i], clouds[src_i], cfg.voxel_size, T_edge.astype(np.float32)
+                    )
+                )
+            )
+        graph = pg_mod.build_circuit_graph(abs_poses, relative_poses, np.stack(infos))
+        out = pg_mod.global_optimization(
+            graph, max_correspondence_distance=2 * cfg.voxel_size,
+            edge_prune_threshold=0.25,
+        )
+        results["pose_graph"] = np.asarray(out.nodes, np.float64)
+    for name, poses in results.items():
+        poses_io.save_absolute_poses(cfg.out_dir(f"absolute_poses_{name}"), poses)
+    return results
+
+
+def evaluate_against(poses: np.ndarray, reference: np.ndarray):
+    """ATE arrays (rotation, translation) via the reference's metric."""
+    dR, dt = se3.pose_errors(np.asarray(poses), np.asarray(reference))
+    return np.asarray(dR), np.asarray(dt)

@@ -23,6 +23,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon sitecustomize calls register() at interpreter start, which sets the
+# jax_platforms *config* to "axon,cpu" — overriding the env var.  Force the
+# config back to cpu before any backend is touched.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture
 def rng():

@@ -1,0 +1,75 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY §4d):
+sharded == single-device for pair-batched GICP and the distributed pose-graph
+solve."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pcr_tpu.models import gicp
+from pcr_tpu.models.global_refine import pose_graph
+from pcr_tpu.ops import normals as normals_ops
+from pcr_tpu.parallel import distributed_pg, mesh as mesh_mod, pair_sharding
+from pcr_tpu.utils import cloud, se3
+from tests.test_global_refine import make_pose_graph
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def make_pair_batch(rng, B=8, n=600, cap=640):
+    srcs, tgts, Ts = [], [], []
+    for b in range(B):
+        xy = rng.uniform(-2, 2, size=(n, 2)).astype(np.float32)
+        z = 0.3 * np.sin(2 * xy[:, 0]) + 0.2 * np.cos(3 * xy[:, 1])
+        pts = np.concatenate([xy, z[:, None].astype(np.float32)], axis=1)
+        xi = (rng.normal(size=6) * 0.02).astype(np.float32)
+        T_gt = np.asarray(se3.se3_exp(jnp.asarray(xi)))
+        src = normals_ops.with_normals_knn(cloud.from_numpy(pts, capacity=cap), 15)
+        tgt_pts = (pts @ T_gt[:3, :3].T + T_gt[:3, 3]).astype(np.float32)
+        tgt = normals_ops.with_normals_knn(cloud.from_numpy(tgt_pts, capacity=cap), 15)
+        srcs.append(src); tgts.append(tgt); Ts.append(T_gt)
+    return (
+        cloud.stack_clouds(srcs),
+        cloud.stack_clouds(tgts),
+        np.stack([np.eye(4, dtype=np.float32)] * B),
+        np.stack(Ts),
+    )
+
+
+def test_sharded_gicp_matches_unsharded(rng):
+    src, tgt, T0, T_gt = make_pair_batch(rng)
+    m = mesh_mod.make_pair_mesh(8)
+    res_single = pair_sharding.batched_gicp(src, tgt, jnp.asarray(T0), 0.3, max_iteration=10)
+    res_shard = pair_sharding.sharded_batched_gicp(m, src, tgt, jnp.asarray(T0), 0.3, max_iteration=10)
+    np.testing.assert_allclose(
+        np.asarray(res_shard.transformation), np.asarray(res_single.transformation),
+        atol=1e-5,
+    )
+    # and both recover the ground truth
+    T_all = np.asarray(res_shard.transformation)
+    for b in range(8):
+        _, dt = se3.pose_errors(T_all[b], T_gt[b])
+        assert float(dt) < 0.01
+
+
+def test_distributed_pose_graph_matches_single(rng):
+    graph, _ = make_pose_graph(rng, 16, drift=0.03)
+    m = mesh_mod.make_pair_mesh(8)
+    mu = 10.0
+    nodes_single, _ = pose_graph.optimize_pose_graph_once(graph, mu=mu, max_iterations=30)
+    nodes_dist = distributed_pg.distributed_optimize(m, graph, mu=mu, max_iterations=30)
+    np.testing.assert_allclose(np.asarray(nodes_dist), np.asarray(nodes_single), atol=5e-4)
+
+
+def test_distributed_global_optimization_closes_loop(rng):
+    graph, _ = make_pose_graph(rng, 16, drift=0.03)
+    m = mesh_mod.make_pair_mesh(8)
+    out = distributed_pg.distributed_global_optimization(m, graph, max_correspondence_distance=0.5)
+    after = np.asarray(out.nodes)
+    T = np.asarray(graph.edge_T[-1])
+    r = np.linalg.inv(T) @ np.linalg.inv(after[0]) @ after[-1]
+    r0 = np.linalg.inv(T) @ np.linalg.inv(np.asarray(graph.nodes[0])) @ np.asarray(graph.nodes[-1])
+    assert np.linalg.norm(r[:3, 3]) < np.linalg.norm(r0[:3, 3]) * 0.2
