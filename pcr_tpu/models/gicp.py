@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import eigen3
+from ..ops import band_nn, eigen3, grid_nn
 from ..ops import knn as knn_ops
 from ..utils import se3
 from ..utils.cloud import Cloud
@@ -113,9 +113,21 @@ def robust_weight(loss: str, r: jnp.ndarray, k: float) -> jnp.ndarray:
 # Single GN iteration
 # ---------------------------------------------------------------------------
 
-def _correspond(src_pts, src_mask, tgt_pts, tgt_mask, T, max_dist):
+def _correspond(src_pts, src_mask, tgt_pts, tgt_mask, T, max_dist, accel=None):
+    """Correspondence search at pose T.  ``accel`` selects the backend:
+    None -> brute nn1; ('grid', HashGrid) -> hash grid (CPU-friendly);
+    ('band', BandIndex) -> sorted band sweep (TPU-friendly, no per-iteration
+    sorts — the index's query grouping was built at the initial pose and only
+    band bounds use current coordinates)."""
     p = se3.transform_points(T, src_pts)
-    d2, j = knn_ops.nn1(p, tgt_pts, tgt_mask)
+    if accel is None:
+        d2, j = knn_ops.nn1(p, tgt_pts, tgt_mask)
+    elif isinstance(accel, grid_nn.HashGrid):
+        d2, j = grid_nn.nn1_grid(accel, p, max_dist)
+    elif isinstance(accel, band_nn.BandIndex):
+        d2, j = band_nn.nn1_band_query(accel, p, src_mask, max_dist)
+    else:
+        raise TypeError(type(accel))
     valid = src_mask & (d2 <= max_dist * max_dist) & (d2 < knn_ops.BIG)
     return p, j, valid, d2
 
@@ -131,11 +143,11 @@ def _metrics(valid, d2, src_mask):
 @functools.partial(jax.jit, static_argnames=("loss",))
 def gicp_step(
     src_pts, src_cov, src_mask, tgt_pts, tgt_cov, tgt_mask, T, max_dist,
-    loss: str = "l1", gm_k: float = 1.0,
+    loss: str = "l1", gm_k: float = 1.0, accel=None,
 ):
     """One correspondence + Gauss-Newton update. Returns (T_new, fitness,
     rmse, n_corr) where fitness/rmse are measured at the *input* pose."""
-    p, j, valid, d2 = _correspond(src_pts, src_mask, tgt_pts, tgt_mask, T, max_dist)
+    p, j, valid, d2 = _correspond(src_pts, src_mask, tgt_pts, tgt_mask, T, max_dist, accel)
     fitness, rmse, n_corr = _metrics(valid, d2, src_mask)
 
     q = tgt_pts[j]
@@ -169,10 +181,19 @@ def gicp_step(
 # Full ICP loop
 # ---------------------------------------------------------------------------
 
+def registration_gicp(source, target, max_corr_dist, T_init, corr_method="auto", **kw):
+    """GICP wrapper resolving the correspondence backend at trace time:
+    'band' (TPU default), 'grid' (CPU default), or 'brute'."""
+    if corr_method == "auto":
+        corr_method = "band" if jax.default_backend() == "tpu" else "grid"
+    return _registration_gicp(source, target, max_corr_dist, T_init,
+                              corr_method=corr_method, **kw)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("loss", "max_iteration")
+    jax.jit, static_argnames=("loss", "max_iteration", "corr_method")
 )
-def registration_gicp(
+def _registration_gicp(
     source: Cloud,
     target: Cloud,
     max_corr_dist,
@@ -182,17 +203,31 @@ def registration_gicp(
     max_iteration: int = 100,
     relative_fitness: float = 1e-6,
     relative_rmse: float = 1e-6,
+    corr_method: str = "grid",
 ) -> RegistrationResult:
     """GICP with ICPConvergenceCriteria semantics (2_...py:160-162).
 
     ``source``/``target`` must carry covariances (from
     ``ops.normals.with_normals_knn`` or ``covariances_from_normals``); they are
     eigenvalue-clamped here.
+
+    The correspondence accelerator (hash grid or band index) is built once
+    and reused across all iterations.
     """
     src_cov = regularize_covariances(source.covariances)
     tgt_cov = regularize_covariances(target.covariances)
     max_dist = jnp.float32(max_corr_dist)
     T0 = jnp.asarray(T_init, jnp.float32)
+    if corr_method == "grid":
+        accel = grid_nn.build_grid(target.points, target.mask, max_dist)
+    elif corr_method == "band":
+        p0 = se3.transform_points(T0, source.points)
+        accel = band_nn.build_band_index(
+            p0, source.mask, target.points, target.mask)
+    elif corr_method == "brute":
+        accel = None
+    else:
+        raise ValueError(f"unknown corr_method {corr_method!r}")
 
     def cond(state):
         _, _, _, _, it, done = state
@@ -203,7 +238,7 @@ def registration_gicp(
         T_new, fit, rmse, n_corr = gicp_step(
             source.points, src_cov, source.mask,
             target.points, tgt_cov, target.mask,
-            T, max_dist, loss=loss, gm_k=gm_k,
+            T, max_dist, loss=loss, gm_k=gm_k, accel=accel,
         )
         # Open3D convergence: absolute deltas of fitness and rmse below eps
         done = (jnp.abs(fit - fit_prev) < relative_fitness) & (
@@ -217,7 +252,7 @@ def registration_gicp(
 
     # Final metrics at the converged pose
     _, _, valid, d2 = _correspond(
-        source.points, source.mask, target.points, target.mask, T, max_dist
+        source.points, source.mask, target.points, target.mask, T, max_dist, accel
     )
     fitness, rmse, n_corr = _metrics(valid, d2, source.mask)
     return RegistrationResult(T, fitness, rmse, n_corr, iters)

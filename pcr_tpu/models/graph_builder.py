@@ -1,0 +1,95 @@
+"""k-connectivity pose-graph builder (SURVEY P5/P6) — the reference's
+``full_registration`` (ALL_FUNCTIONS.py:342-394) and
+``Coarse_to_fine_FGR_M_GICP`` (ALL_FUNCTIONS.py:317-332).
+
+Registers each cloud against its next k neighbors: odometry edges
+(target == source+1, uncertain=False, nodes accumulate inv(odometry)) and
+loop-closure edges (source+1 < target <= source+k, uncertain=True), with the
+fitness > 0.40 success gate.  k(2n-k-1)/2 edges for n clouds.
+
+Each pair runs the coarse-to-fine pipeline: FGR (ALL_FUNCTIONS variant,
+use_absolute_scale=True) -> 3-scale doubling M-GICP (100 iters/scale) ->
+information matrix at the refined pose.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils import se3
+from ..utils.cloud import Cloud
+from . import evaluate as eval_mod
+from . import fgr as fgr_mod
+from . import multiscale as ms_mod
+from .global_refine import pose_graph as pg_mod
+
+
+def coarse_to_fine(source: Cloud, target: Cloud, voxel_size: float, seed: int = 0):
+    """``Coarse_to_fine_FGR_M_GICP``: FGR seed -> 3-scale doubling M-GICP ->
+    information matrix.  Returns (RegistrationResult, (6, 6) info matrix)."""
+    res_fgr = fgr_mod.registro_fgr(
+        source, target, voxel_size, use_absolute_scale=True, seed=seed
+    )
+    res = ms_mod.multiscale_gicp(
+        source, target, res_fgr.transformation,
+        n_scales=3, iterations=100, schedule="doubling",
+    )
+    info = eval_mod.information_matrix(
+        source, target, voxel_size, res.transformation
+    )
+    return res, info
+
+
+def full_registration(clouds: list[Cloud], voxel_size: float, k: int,
+                      fitness_gate: float = 0.40, log=print) -> pg_mod.PoseGraph:
+    """Builds the k-connectivity PoseGraph over `clouds`.
+
+    Edge direction follows the reference: the pairwise result T registers
+    cloud[source] onto cloud[target]; odometry accumulates
+    odometry = T @ odometry with node pose inv(odometry)
+    (ALL_FUNCTIONS.py:357-360).
+    """
+    n = len(clouds)
+    nodes = [np.eye(4)]
+    odometry = np.eye(4)
+    src_l, dst_l, T_l, info_l, unc_l = [], [], [], [], []
+    n_expected = k * (2 * n - k - 1) // 2
+    ok = 0
+    for source_id in range(n):
+        for target_id in range(source_id + 1, min(source_id + k + 1, n)):
+            res, info = coarse_to_fine(
+                clouds[source_id], clouds[target_id], voxel_size,
+                seed=source_id * n + target_id,
+            )
+            T = np.asarray(res.transformation, np.float64)
+            fit = float(res.fitness)
+            if target_id == source_id + 1:
+                odometry = T @ odometry
+                nodes.append(np.linalg.inv(odometry))
+                uncertain = False
+            else:
+                uncertain = True
+            src_l.append(source_id)
+            dst_l.append(target_id)
+            T_l.append(T)
+            info_l.append(np.asarray(info, np.float64))
+            unc_l.append(uncertain)
+            ok += int(fit > fitness_gate)
+            if log:
+                log(
+                    f"pair {source_id}->{target_id} "
+                    f"{'loop' if uncertain else 'odom'} fitness={fit:.3f} "
+                    f"{'ok' if fit > fitness_gate else 'FAILED'}"
+                )
+    if log:
+        log(f"{ok}/{n_expected} successful registrations (gate {fitness_gate})")
+    return pg_mod.PoseGraph(
+        nodes=jnp.asarray(np.stack(nodes), jnp.float32),
+        edge_src=jnp.asarray(np.asarray(src_l, np.int32)),
+        edge_dst=jnp.asarray(np.asarray(dst_l, np.int32)),
+        edge_T=jnp.asarray(np.stack(T_l), jnp.float32),
+        edge_info=jnp.asarray(np.stack(info_l), jnp.float32),
+        uncertain=jnp.asarray(np.asarray(unc_l)),
+        edge_mask=jnp.ones(len(src_l), dtype=bool),
+    )

@@ -1,0 +1,132 @@
+"""Band nearest-neighbor search: sort + sweep — the TPU-native pruned NN.
+
+Hash grids prune candidates well but their per-query bucket gathers are
+catastrophically slow on TPU (XLA gather ~116 ms vs 36 ms brute force for 18k
+points, measured).  The TPU answer keeps memory access CONTIGUOUS:
+
+  1. sort ref points along the axis of largest extent (once);
+  2. group queries into tiles of TQ spatially-consecutive points (once — the
+     grouping may go stale under the rigid motion of an ICP loop without
+     hurting correctness, since band bounds are recomputed from CURRENT
+     coordinates every query);
+  3. every tile's candidates are ONE contiguous block-quantized slice of the
+     sorted refs: [searchsorted(tile_min - r) rounded down to `band`,
+     + 2*band) — gathered for all tiles in one op of large contiguous runs;
+  4. one batched MXU matmul + argmin does all tiles at once — no per-tile
+     dispatch, no Pallas, fully vmappable over scan pairs.
+
+Exactness: guaranteed while every tile's in-radius band fits in 2*band sorted
+rows; overflowing slabs lose the farthest candidates only (choose `band` ~
+2*r*linear_density + tile span; 2048 covers the shipped datasets at their
+search radii with large margin — validated against brute force in tests).
+
+Measured (v5e, NCLT 18k x 18k): one-shot 27-35 ms (sort-bound); amortized
+build + per-iteration queries are the GICP win: queries skip all sorts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(3.0e38)
+SENTINEL = 1.0e6
+
+
+class BandIndex(NamedTuple):
+    """Sorted-ref structure + static query grouping (build once per pair)."""
+
+    r_sorted: jnp.ndarray    # (Nr_pad, 3) refs sorted by axis coord (+sentinel pad)
+    ra_sorted: jnp.ndarray   # (Nr,) sorted axis coords (unpadded)
+    r_order: jnp.ndarray     # (Nr,) sort permutation into original indices
+    q_order: jnp.ndarray     # (Nq,) query grouping permutation
+    axis: jnp.ndarray        # scalar int — sweep axis
+
+
+def build_band_index(query, query_mask, ref, ref_mask, *, q_tile: int = 1024,
+                     band: int = 2048) -> BandIndex:
+    """Sort refs along the largest-extent axis; group queries by it."""
+    nq, nr = query.shape[0], ref.shape[0]
+    qpts = jnp.where(query_mask[:, None], query, SENTINEL)
+    rpts = jnp.where(ref_mask[:, None], ref, SENTINEL)
+    big = jnp.float32(3e38)
+    rmax = jnp.max(jnp.where(ref_mask[:, None], ref, -big), axis=0)
+    rmin = jnp.min(jnp.where(ref_mask[:, None], ref, big), axis=0)
+    axis = jnp.argmax(rmax - rmin)
+    qa = jnp.take_along_axis(qpts, jnp.full((nq, 1), axis), axis=1)[:, 0]
+    ra = jnp.take_along_axis(rpts, jnp.full((nr, 1), axis), axis=1)[:, 0]
+    q_order = jnp.argsort(qa).astype(jnp.int32)
+    r_order = jnp.argsort(ra).astype(jnp.int32)
+    nr_pad = (-(-nr // band) + 1) * band
+    r_sorted = jnp.pad(rpts[r_order], ((0, nr_pad - nr), (0, 0)),
+                       constant_values=SENTINEL)
+    return BandIndex(r_sorted, ra[r_order], r_order, q_order, axis)
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "band"))
+def nn1_band_query(
+    index: BandIndex,
+    query: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    max_dist,
+    *,
+    q_tile: int = 1024,
+    band: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest sorted-ref within max_dist per query — NO sorts (uses the
+    prebuilt index; query coordinates may have moved since build).
+
+    Returns (exact sqdist, original ref index); out-of-range -> (BIG, 0).
+    """
+    nq = query.shape[0]
+    nr = index.ra_sorted.shape[0]
+    nr_pad = index.r_sorted.shape[0]
+    max_dist = jnp.float32(max_dist)
+    qpts = jnp.where(query_mask[:, None], query, SENTINEL)
+
+    q_s = qpts[index.q_order]                           # (Nq, 3) grouped
+    qa_s = jnp.take_along_axis(q_s, jnp.full((nq, 1), index.axis), axis=1)[:, 0]
+
+    nq_pad = -(-nq // q_tile) * q_tile
+    q_sp = jnp.pad(q_s, ((0, nq_pad - nq), (0, 0)), constant_values=SENTINEL)
+    qa_sp = jnp.pad(qa_s, (0, nq_pad - nq), constant_values=SENTINEL)
+    n_tiles = nq_pad // q_tile
+    tile_min = jnp.min(qa_sp.reshape(n_tiles, q_tile), axis=1)
+
+    starts = jnp.searchsorted(index.ra_sorted, tile_min - max_dist).astype(jnp.int32)
+    max_blk = nr_pad // band - 2
+    starts_el = jnp.clip(starts // band, 0, jnp.maximum(max_blk, 0)) * band
+
+    rows = starts_el[:, None] + jnp.arange(2 * band, dtype=jnp.int32)[None, :]
+    bands = index.r_sorted[rows]                        # (n_tiles, 2B, 3)
+    band_n2 = jnp.sum(bands * bands, axis=-1)
+
+    q_t = q_sp.reshape(n_tiles, q_tile, 3)
+    qn = jnp.sum(q_t * q_t, axis=-1)
+    cross = jnp.einsum("tqd,tbd->tqb", q_t, bands, preferred_element_type=jnp.float32)
+    d2 = qn[..., None] + band_n2[:, None, :] - 2.0 * cross
+    best = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    i_sorted = (starts_el[:, None] + best).reshape(nq_pad)[:nq]
+    i_sorted = jnp.clip(i_sorted, 0, nr - 1)
+
+    cand = index.r_sorted[i_sorted]
+    diff = q_s - cand
+    d_exact = jnp.sum(diff * diff, axis=1)
+    d_final = jnp.where(d_exact <= max_dist * max_dist, d_exact, BIG)
+    ref_idx = index.r_order[i_sorted]
+    out_d = jnp.zeros((nq,), jnp.float32).at[index.q_order].set(d_final)
+    out_i = jnp.zeros((nq,), jnp.int32).at[index.q_order].set(ref_idx)
+    return out_d, out_i
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "band"))
+def nn1_band(query, query_mask, ref, ref_mask, max_dist, *,
+             q_tile: int = 1024, band: int = 2048):
+    """One-shot band NN (build + query)."""
+    index = build_band_index(query, query_mask, ref, ref_mask,
+                             q_tile=q_tile, band=band)
+    return nn1_band_query(index, query, query_mask, max_dist,
+                          q_tile=q_tile, band=band)

@@ -1,0 +1,102 @@
+"""Tests for parity extras: Umeyama, eigen features, sampling, viz artifacts."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pcr_tpu import viz
+from pcr_tpu.models import features, manual
+from pcr_tpu.utils import cloud, se3
+from tests.conftest import random_rotation
+
+
+def test_umeyama_recovers_rigid_transform(rng):
+    pts = rng.normal(size=(50, 3))
+    R = random_rotation(rng)
+    t = np.array([1.0, -2.0, 0.5])
+    q = pts @ R.T + t
+    T = np.asarray(manual.estimate_point_to_point(pts, q))
+    np.testing.assert_allclose(T[:3, :3], R, atol=1e-8)
+    np.testing.assert_allclose(T[:3, 3], t, atol=1e-8)
+
+
+def test_umeyama_reflection_guard(rng):
+    # planar points are degenerate enough to attract reflections
+    pts = np.concatenate([rng.normal(size=(30, 2)), np.zeros((30, 1))], axis=1)
+    R = random_rotation(rng)
+    q = pts @ R.T
+    T = np.asarray(manual.estimate_point_to_point(pts, q))
+    assert np.linalg.det(T[:3, :3]) > 0.99
+
+
+def test_manual_registration_with_picks(rng):
+    pts = rng.normal(size=(100, 3))
+    R = random_rotation(rng)
+    t = np.array([0.2, 0.1, -0.3])
+    q = pts @ R.T + t
+    picks = [3, 17, 42, 77]
+    T = np.asarray(manual.manual_registration(pts, q, picks, picks))
+    np.testing.assert_allclose(T[:3, :3], R, atol=1e-8)
+
+
+def test_random_rotation_matrix_is_rotation(rng):
+    M = manual.random_rotation_matrix(rng=rng)
+    np.testing.assert_allclose(M @ M.T, np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(np.linalg.det(M), 1.0, atol=1e-12)
+
+
+def test_eigen_features_plane_vs_line(rng):
+    # planar cloud: high planarity, low sphericity
+    xy = rng.uniform(-1, 1, size=(500, 2)).astype(np.float32)
+    plane = np.concatenate([xy, 0.001 * rng.normal(size=(500, 1)).astype(np.float32)], axis=1)
+    c = cloud.from_numpy(plane, capacity=512)
+    f_plane = np.asarray(features.extract_eigen_features(c.points, c.mask))
+    # linear cloud: high linearity
+    tline = rng.uniform(-1, 1, size=(500, 1)).astype(np.float32)
+    line = np.concatenate([tline, 0.001 * rng.normal(size=(500, 2)).astype(np.float32)], axis=1)
+    c2 = cloud.from_numpy(line, capacity=512)
+    f_line = np.asarray(features.extract_eigen_features(c2.points, c2.mask))
+    assert f_plane[1] > 0.5 and f_plane[2] < 0.05   # planarity high, sphericity low
+    assert f_line[0] > 0.9                          # linearity high
+    assert f_plane.shape == (7,)
+
+
+def test_multiscale_sampling_fractions():
+    f = np.asarray(features.multiscale_sampling_fractions(5, 0.1))
+    assert f.shape == (5,)
+    assert (np.diff(f) < 0).all()          # decreasing with scale
+    np.testing.assert_allclose(np.linalg.norm(f), 1.0, rtol=1e-6)
+
+
+def test_random_downsample(rng):
+    pts = rng.normal(size=(1000, 3)).astype(np.float32)
+    c = cloud.from_numpy(pts, capacity=1024)
+    d = features.random_downsample(c, 0.3, seed=1)
+    frac = int(d.count()) / 1000
+    assert 0.2 < frac < 0.4
+
+
+def test_viz_artifacts(tmp_path, rng):
+    poses = np.stack([np.eye(4)] * 5)
+    for i in range(5):
+        poses[i][:3, 3] = [i, 0, 0]
+    p1 = viz.export_trajectory(str(tmp_path / "traj.ply"), poses)
+    assert "element vertex 5" in open(p1).read()
+    clouds = [cloud.from_numpy(rng.normal(size=(50, 3)).astype(np.float32), capacity=64)
+              for _ in range(3)]
+    p2 = viz.export_registered_clouds(str(tmp_path / "clouds.ply"), clouds, poses[:3])
+    txt = open(p2).read()
+    assert "element vertex 150" in txt and "uchar red" in txt
+    p3 = viz.plot_pose_errors(str(tmp_path / "err.png"), {"LUM": rng.uniform(size=10)})
+    assert (tmp_path / "err.png").stat().st_size > 1000
+    p4 = viz.plot_pair_metric(str(tmp_path / "rmse.png"),
+                              {"FGR": rng.uniform(size=7), "FGR+GICP": rng.uniform(size=7)},
+                              "RMSE")
+    p5 = viz.plot_time_bars(str(tmp_path / "time.png"), rng.uniform(size=7))
+    assert (tmp_path / "time.png").exists()
+
+
+def test_flatten_to_xy(rng):
+    pts = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
+    flat = np.asarray(manual.flatten_to_xy(pts))
+    assert (flat[:, 2] == 0).all()
+    np.testing.assert_allclose(flat[:, :2], np.asarray(pts)[:, :2])
