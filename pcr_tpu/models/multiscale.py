@@ -71,6 +71,55 @@ def _preprocess_scale(c: Cloud, voxel_size: float, scale_capacity: int | None,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("n_scales", "iterations", "loss", "scale_capacities")
+)
+def build_pyramid(
+    c: Cloud,
+    n_scales: int = 5,
+    iterations: int = 0,  # unused; kept for config symmetry
+    loss: str = "l1",
+    scale_capacities: tuple[int, ...] | None = None,
+) -> tuple[Cloud, ...]:
+    """Per-cloud preprocessing pyramid (linear schedule): downsample + filter
+    + normals at every scale, computed ONCE per cloud.
+
+    In a circuit every cloud serves as source of one pair and target of the
+    next; precomputing pyramids halves stage-2 preprocessing (the dominant
+    cost after the band correspondence search).
+    """
+    scales = create_scales(n_scales)
+    out = []
+    for s in range(n_scales):
+        cap = scale_capacities[s] if scale_capacities is not None else None
+        out.append(_preprocess_scale(c, scales[s], cap))
+    return tuple(out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_scales", "iterations", "loss")
+)
+def multiscale_gicp_pyramids(
+    src_pyr: tuple[Cloud, ...],
+    tgt_pyr: tuple[Cloud, ...],
+    T_init,
+    n_scales: int = 5,
+    iterations: int = 100,
+    loss: str = "l1",
+) -> gicp_mod.RegistrationResult:
+    """M-GICP over precomputed pyramids (linear schedule)."""
+    scales = create_scales(n_scales)
+    dists = [jnp.float32(d) for d in max_correspondence_distances(scales)]
+    T = jnp.asarray(T_init, jnp.float32)
+    result = None
+    for s in range(n_scales):
+        result = gicp_mod.registration_gicp(
+            src_pyr[s], tgt_pyr[s], dists[s], T, loss=loss, max_iteration=iterations,
+        )
+        T = result.transformation
+    return result
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("n_scales", "iterations", "loss", "scale_capacities", "schedule"),
 )

@@ -130,3 +130,83 @@ def nn1_band(query, query_mask, ref, ref_mask, max_dist, *,
                              q_tile=q_tile, band=band)
     return nn1_band_query(index, query, query_mask, max_dist,
                           q_tile=q_tile, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exclude_self", "q_tile",
+                                             "band", "recall"))
+def knn_self_band(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    *,
+    exclude_self: bool = False,
+    q_tile: int = 1024,
+    band: int = 2048,
+    recall: float = 0.99,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest neighbors within one cloud via the band sweep.
+
+    Queries ARE the refs (preprocessing neighborhoods: normals, outlier
+    removal, FPFH), so one sort serves both sides; each sorted tile's k-NN are
+    found with approx_min_k over its 2*band-wide slab, then exactly re-scored.
+    Correct while each query's k-th neighbor lies within its tile's band —
+    at LiDAR densities the k<=200 neighborhood spans a few hundred sorted
+    positions vs a >=band/2 guaranteed margin.
+
+    Output contract matches knn.knn: (sqdists ascending, indices), invalid
+    entries >= BIG.
+    """
+    n = points.shape[0]
+    pts = jnp.where(mask[:, None], points, SENTINEL)
+    big = jnp.float32(3e38)
+    pmax = jnp.max(jnp.where(mask[:, None], points, -big), axis=0)
+    pmin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
+    axis = jnp.argmax(pmax - pmin)
+    pa = jnp.take_along_axis(pts, jnp.full((n, 1), axis), axis=1)[:, 0]
+    order = jnp.argsort(pa).astype(jnp.int32)
+
+    n_pad = -(-n // q_tile) * q_tile
+    nr_pad = (-(-n // band) + 1) * band
+    p_sorted = pts[order]
+    p_q = jnp.pad(p_sorted, ((0, n_pad - n), (0, 0)), constant_values=SENTINEL)
+    p_r = jnp.pad(p_sorted, ((0, nr_pad - n), (0, 0)), constant_values=SENTINEL)
+
+    n_tiles = n_pad // q_tile
+    # tile t spans sorted rows [t*q_tile, (t+1)*q_tile); center its band
+    tile_start_row = jnp.arange(n_tiles, dtype=jnp.int32) * q_tile
+    start_blk = jnp.clip((tile_start_row - (2 * band - q_tile) // 2) // band,
+                         0, jnp.maximum(nr_pad // band - 2, 0))
+    starts_el = start_blk * band
+
+    rows = starts_el[:, None] + jnp.arange(2 * band, dtype=jnp.int32)[None, :]
+    bands = p_r[rows]                                   # (T, 2B, 3)
+    band_n2 = jnp.sum(bands * bands, axis=-1)
+
+    q_t = p_q.reshape(n_tiles, q_tile, 3)
+    qn = jnp.sum(q_t * q_t, axis=-1)
+    cross = jnp.einsum("tqd,tbd->tqb", q_t, bands, preferred_element_type=jnp.float32)
+    d2 = qn[..., None] + band_n2[:, None, :] - 2.0 * cross
+    k_search = k + 1 if exclude_self else k
+    _, bi = jax.lax.approx_min_k(d2, k_search, recall_target=recall)  # (T, TQ, ks)
+    cand_rows = starts_el[:, None, None] + bi.astype(jnp.int32)
+    cand_rows = jnp.minimum(cand_rows, nr_pad - 1)
+
+    # exact re-score in sorted space
+    cand = p_r[cand_rows]                               # (T, TQ, ks, 3)
+    diff = q_t[:, :, None, :] - cand
+    d_exact = jnp.sum(diff * diff, axis=-1)
+    d_exact = jnp.where(d_exact >= 1.0e10, BIG, d_exact)  # sentinel candidates
+    if exclude_self:
+        self_rows = (tile_start_row[:, None] + jnp.arange(q_tile, dtype=jnp.int32)[None, :])
+        d_exact = jnp.where(cand_rows == self_rows[:, :, None], BIG, d_exact)
+    ord_ = jnp.argsort(d_exact, axis=-1)[..., :k]
+    d_sorted = jnp.take_along_axis(d_exact, ord_, axis=-1)
+    r_sorted_idx = jnp.take_along_axis(cand_rows, ord_, axis=-1)
+    # map sorted rows -> original indices (clip padding)
+    orig = order[jnp.clip(r_sorted_idx, 0, n - 1).reshape(-1)].reshape(r_sorted_idx.shape)
+
+    d_flat = d_sorted.reshape(n_pad, k)[:n]
+    i_flat = orig.reshape(n_pad, k)[:n]
+    out_d = jnp.zeros((n, k), jnp.float32).at[order].set(d_flat)
+    out_i = jnp.zeros((n, k), jnp.int32).at[order].set(i_flat)
+    return out_d, out_i

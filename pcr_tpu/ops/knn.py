@@ -60,13 +60,23 @@ def exact_sqdist(q: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
 
 
 def knn(query, ref, ref_mask, k, *, exclude_self=False, method="auto", **kw):
-    """Exact or TPU-approx k-NN dispatch. See ``knn_exact`` for semantics.
+    """k-NN dispatch. See ``knn_exact`` for the output contract.
 
-    method='approx' searches with jax.lax.approx_min_k (recall ~0.997) and
-    re-scores the winners exactly; method='exact' uses the tiled merge.
+    method='band' (TPU default for self-queries): one sort + approx_min_k
+    over narrow sorted bands; 'approx': approx_min_k over full distance rows;
+    'exact': the tiled merge (CPU default).
     """
     if method == "auto":
-        method = _default_method()
+        # band self-kNN measured slower than approx_min_k at k>=30 (row-count
+        # dominated) and ~0.89 recall at default settings; approx wins.
+        method = "approx" if jax.default_backend() == "tpu" else "exact"
+    if method == "band":
+        if query is not ref:
+            raise ValueError("band kNN requires query is ref (self-neighborhoods)")
+        from . import band_nn
+
+        kw.pop("r_chunk", None)
+        return band_nn.knn_self_band(query, ref_mask, k, exclude_self=exclude_self, **kw)
     if method == "approx":
         kw.pop("r_chunk", None)
         return knn_approx(query, ref, ref_mask, k, exclude_self=exclude_self, **kw)

@@ -128,6 +128,42 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
     pairs = circuit_pairs(n)
     B = cfg.batch_size
     out = np.zeros((n, 4, 4))
+
+    if B == 1 and mesh is None:
+        # Streamed path: one pair saturates a chip (measured), and each cloud
+        # serves two adjacent pairs — cache per-cloud pyramids so
+        # preprocessing runs once per cloud instead of twice.
+        pyr_cache: dict[int, tuple] = {}
+
+        def pyramid(i):
+            if i not in pyr_cache:
+                pyr_cache[i] = ms_mod.build_pyramid(
+                    clouds[i], n_scales=cfg.mgicp_scales,
+                    scale_capacities=cfg.scale_capacities,
+                )
+            return pyr_cache[i]
+
+        for k, (s, t) in enumerate(pairs):
+            t0 = time.time()
+            res = ms_mod.multiscale_gicp_pyramids(
+                pyramid(s), pyramid(t),
+                jnp.asarray(init_poses[k], jnp.float32),
+                n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations,
+            )
+            out[k] = np.asarray(res.transformation, np.float64)
+            metrics.add("mgicp", s, t, float(res.fitness),
+                        float(res.inlier_rmse), time.time() - t0)
+            # keep only pyramids still needed (next pair reuses cloud s)
+            for key in [key for key in pyr_cache if key not in (s, (s + 1) % n)]:
+                del pyr_cache[key]
+        poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR_GICP"), out)
+        abs_poses = se3.relative_to_absolute(out)
+        poses_io.save_absolute_poses(
+            cfg.out_dir("absolute_poses_FGR_GICP"), np.asarray(abs_poses)
+        )
+        metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"))
+        return out
+
     for start in range(0, n, B):
         chunk = pairs[start : start + B]
         # pad the tail chunk by repeating the last pair
