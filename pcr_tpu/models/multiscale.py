@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..ops import normals as normals_ops
 from ..ops import outlier as outlier_ops
+from ..ops import preprocess as preprocess_ops
 from ..ops import voxel as voxel_ops
 from ..utils.cloud import Cloud, compact
 from . import gicp as gicp_mod
@@ -62,7 +63,13 @@ def radius_from_cloud_pair(source: Cloud, target: Cloud) -> jnp.ndarray:
 
 def _preprocess_scale(c: Cloud, voxel_size: float, scale_capacity: int | None,
                       knn_filter: int = 30, std_filter: float = 1.0,
-                      normal_knn: int = 20) -> Cloud:
+                      normal_knn: int = 20, fused: bool = True) -> Cloud:
+    if fused:
+        # One shared top-31 search, no scatters; output in sorted-axis order
+        # (Clouds are orderless sets — see ops/preprocess.py for the exact
+        # deviation from the ops/outlier.py + ops/normals.py chain).
+        return preprocess_ops.preprocess_scale_fused(
+            c, voxel_size, scale_capacity, knn_filter, std_filter, normal_knn)
     d = voxel_ops.voxel_downsample_cloud(c, voxel_size)
     if scale_capacity is not None and scale_capacity < d.capacity:
         d = compact(d, scale_capacity)  # voxel output is prefix-compact already
@@ -71,7 +78,8 @@ def _preprocess_scale(c: Cloud, voxel_size: float, scale_capacity: int | None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_scales", "iterations", "loss", "scale_capacities")
+    jax.jit,
+    static_argnames=("n_scales", "iterations", "loss", "scale_capacities", "fused"),
 )
 def build_pyramid(
     c: Cloud,
@@ -79,6 +87,7 @@ def build_pyramid(
     iterations: int = 0,  # unused; kept for config symmetry
     loss: str = "l1",
     scale_capacities: tuple[int, ...] | None = None,
+    fused: bool = True,
 ) -> tuple[Cloud, ...]:
     """Per-cloud preprocessing pyramid (linear schedule): downsample + filter
     + normals at every scale, computed ONCE per cloud.
@@ -91,7 +100,7 @@ def build_pyramid(
     out = []
     for s in range(n_scales):
         cap = scale_capacities[s] if scale_capacities is not None else None
-        out.append(_preprocess_scale(c, scales[s], cap))
+        out.append(_preprocess_scale(c, scales[s], cap, fused=fused))
     return tuple(out)
 
 
@@ -121,7 +130,8 @@ def multiscale_gicp_pyramids(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_scales", "iterations", "loss", "scale_capacities", "schedule"),
+    static_argnames=("n_scales", "iterations", "loss", "scale_capacities",
+                     "schedule", "fused"),
 )
 def multiscale_gicp(
     source: Cloud,
@@ -132,6 +142,7 @@ def multiscale_gicp(
     loss: str = "l1",
     scale_capacities: tuple[int, ...] | None = None,
     schedule: str = "linear",
+    fused: bool = True,
 ) -> gicp_mod.RegistrationResult:
     """M-GICP with the reference's stage-2 defaults (n=5, 100 iters, L1).
 
@@ -153,8 +164,8 @@ def multiscale_gicp(
     result = None
     for s in range(n_scales):
         cap = scale_capacities[s] if scale_capacities is not None else None
-        src_s = _preprocess_scale(source, scales[s], cap)
-        tgt_s = _preprocess_scale(target, scales[s], cap)
+        src_s = _preprocess_scale(source, scales[s], cap, fused=fused)
+        tgt_s = _preprocess_scale(target, scales[s], cap, fused=fused)
         result = gicp_mod.registration_gicp(
             src_s, tgt_s, dists[s], T,
             loss=loss, max_iteration=iterations,

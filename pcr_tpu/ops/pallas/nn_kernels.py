@@ -88,6 +88,106 @@ def _nn1_kernel(q_ref, r_ref, rn_ref, d_ref, i_ref, best_d_ref, best_c_ref,
         i_ref[:, :] = idx.reshape(tq // 128, 128)
 
 
+@functools.partial(jax.jit, static_argnames=("q_tile", "band", "sub_chunk"))
+def nn1_band_pallas(
+    starts_blk: jnp.ndarray,
+    qT_sorted: jnp.ndarray,
+    rT_sorted: jnp.ndarray,
+    rn_sorted: jnp.ndarray,
+    *,
+    q_tile: int = 1024,
+    band: int = 2048,
+    sub_chunk: int = 256,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Banded nearest-neighbor: each query tile only scans its own contiguous
+    2*band-wide slab of the sorted reference (the ``ops.band_nn`` pruning),
+    with the distance matrix and argmin fused in VMEM — the XLA band path
+    materializes (Nq, 2*band) f32 in HBM every ICP iteration (512 MB at 32k
+    points), which made correspondence search HBM-bound.
+
+    starts_blk: (n_tiles,) int32 — per-tile slab start in units of ``band``
+      (scalar-prefetched so the BlockSpec index map can steer the ref DMA).
+    qT_sorted:  (3, n_tiles*q_tile) grouped queries (band_nn.q_order applied).
+    rT_sorted:  (3, nr_pad) sorted refs, SENTINEL-padded.
+    rn_sorted:  (1, nr_pad) their squared norms.
+
+    Returns (approx sqdist (Nq,), WINDOW-RELATIVE winner row (Nq,) int32);
+    callers add ``starts_blk*band`` back and re-score exactly.
+    """
+    nq_pad = qT_sorted.shape[1]
+    n_tiles = nq_pad // q_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, 2),
+        in_specs=[
+            pl.BlockSpec((3, q_tile), lambda g, c, s: (0, g)),
+            pl.BlockSpec((3, band), lambda g, c, s: (0, s[g] + c)),
+            pl.BlockSpec((1, band), lambda g, c, s: (0, s[g] + c)),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile // 128, 128), lambda g, c, s: (g, 0)),
+            pl.BlockSpec((q_tile // 128, 128), lambda g, c, s: (g, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, sub_chunk), jnp.float32),
+            pltpu.VMEM((q_tile, sub_chunk), jnp.int32),
+        ],
+    )
+    d, i = pl.pallas_call(
+        functools.partial(_nn1_band_kernel, sub_chunk=sub_chunk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq_pad // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nq_pad // 128, 128), jnp.int32),
+        ],
+    )(starts_blk, qT_sorted, rT_sorted, rn_sorted)
+    return d.reshape(nq_pad), i.reshape(nq_pad)
+
+
+def _nn1_band_kernel(s_ref, q_ref, r_ref, rn_ref, d_ref, i_ref,
+                     best_d_ref, best_c_ref, *, sub_chunk: int):
+    """Same running-min reduction as ``_nn1_kernel`` but over exactly two
+    band-wide ref blocks whose position was steered by the scalar-prefetched
+    slab starts; winner indices are window-relative (c*band + offset)."""
+    c = pl.program_id(1)
+    q = q_ref[:]                                        # (3, TQ)
+    qn = jnp.sum(q * q, axis=0)
+    tq = q.shape[1]
+    r_block = r_ref.shape[1]
+    n_sub = r_block // sub_chunk
+
+    @pl.when(c == 0)
+    def _():
+        best_d_ref[:, :] = jnp.full_like(best_d_ref, 3.0e38)
+        best_c_ref[:, :] = jnp.zeros_like(best_c_ref)
+
+    for s in range(n_sub):
+        r = r_ref[:, s * sub_chunk : (s + 1) * sub_chunk]
+        rn = rn_ref[0, s * sub_chunk : (s + 1) * sub_chunk]
+        cross = jax.lax.dot_general(
+            q, r, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d2 = qn[:, None] + rn[None, :] - 2.0 * cross
+        take = d2 < best_d_ref[:, :]
+        best_d_ref[:, :] = jnp.where(take, d2, best_d_ref[:, :])
+        best_c_ref[:, :] = jnp.where(take, c * n_sub + s, best_c_ref[:, :])
+
+    @pl.when(c == 1)
+    def _():
+        best_d = best_d_ref[:, :]
+        best_c = best_c_ref[:, :]
+        lane = jnp.argmin(best_d, axis=1).astype(jnp.int32)
+        d_min = jnp.min(best_d, axis=1)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, best_d.shape, 1)
+        onehot = (lane_iota == lane[:, None]).astype(jnp.int32)
+        c_win = jnp.sum(best_c * onehot, axis=1)
+        idx = c_win * sub_chunk + lane
+        d_ref[:, :] = d_min.reshape(tq // 128, 128)
+        i_ref[:, :] = idx.reshape(tq // 128, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("q_tile", "r_chunk", "sub_chunk"))
 def nn1_pallas(query: jnp.ndarray, ref: jnp.ndarray, *, q_tile: int = 1024,
                r_chunk: int = 4096, sub_chunk: int = 256) -> tuple[jnp.ndarray, jnp.ndarray]:

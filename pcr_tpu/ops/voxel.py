@@ -33,20 +33,22 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, voxel_size) -> tupl
     big = jnp.float32(3e38)
     pmin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
     ijk = jnp.floor((points - pmin) / voxel_size).astype(jnp.int32)
-    ijk = jnp.where(mask[:, None], ijk, jnp.int32(2**30))  # padding sorts last
-
-    # Lexicographic sort by (i, j, k): three stable sorts, least-significant first
-    order = jnp.arange(n, dtype=jnp.int32)
-    for axis in (2, 1, 0):
-        key = ijk[order, axis]
-        perm = jnp.argsort(key, stable=True).astype(jnp.int32)
-        order = order[perm]
-    s_ijk = ijk[order]
+    # ONE lexicographic sort pass (lax.sort with two int32 keys) instead of
+    # three stable argsorts: key_hi packs (i, j) at 15 bits each (32k cells
+    # per axis — kilometres of extent at any shipped voxel size), key_lo = k.
+    ijk = jnp.clip(ijk, 0, 2**15 - 1)
+    key_hi = ijk[:, 0] * jnp.int32(2**15) + ijk[:, 1]
+    key_lo = ijk[:, 2]
+    imax = jnp.int32(2**31 - 1)
+    key_hi = jnp.where(mask, key_hi, imax)  # padding sorts last
+    key_lo = jnp.where(mask, key_lo, imax)
+    s_hi, s_lo, order = jax.lax.sort(
+        (key_hi, key_lo, jnp.arange(n, dtype=jnp.int32)), num_keys=2)
     s_pts = points[order]
     s_mask = mask[order]
 
-    # Segment boundaries where the voxel coordinate changes
-    diff = jnp.any(s_ijk[1:] != s_ijk[:-1], axis=1)
+    # Segment boundaries where the voxel key changes
+    diff = (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1])
     new_seg = jnp.concatenate([jnp.array([True]), diff]) & s_mask
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # -1 for leading invalids (none in practice)
     seg_id = jnp.where(s_mask, seg_id, n - 1)  # dump padding into the last bucket
