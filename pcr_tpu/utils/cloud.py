@@ -87,7 +87,19 @@ def from_numpy(points: np.ndarray, capacity: int | None = None,
 
 
 def load_cloud(path: str, capacity: int | None = None) -> Cloud:
-    """Read a PCD file into a padded Cloud (replaces o3d.io.read_point_cloud)."""
+    """Read a PCD file into a padded Cloud (replaces o3d.io.read_point_cloud).
+
+    Uses the C++ reader (pcr_tpu.native) when the toolchain is available;
+    falls back to the pure-Python parser otherwise."""
+    from .. import native
+
+    if capacity is not None and native.available():
+        try:
+            pts, mask, cols, _ = native.read_pcd_padded(path, capacity, PAD_COORD)
+            return Cloud(points=jnp.asarray(pts), mask=jnp.asarray(mask),
+                         colors=None if cols is None else jnp.asarray(cols))
+        except RuntimeError:
+            pass
     from . import pcd
 
     data = pcd.read_pcd(path)
@@ -95,15 +107,30 @@ def load_cloud(path: str, capacity: int | None = None) -> Cloud:
 
 
 def load_dataset(dataset: str, indices=None, capacity: int | None = None) -> list[Cloud]:
-    """Load reference dataset scans padded to the dataset bucket size."""
+    """Load reference dataset scans padded to the dataset bucket size.
+
+    The hot path is the native threaded batch loader (pcr_tpu/native/
+    pcd_io.cc): all scans are parsed in a C++ thread pool straight into the
+    padded bucket layout, overlapping file I/O across cores."""
     from . import poses_io
+    from .. import native
 
     n = poses_io.CIRCUIT_SIZES[dataset]
     if indices is None:
         indices = range(n)
     cap = capacity or BUCKETS[dataset]
-    return [load_cloud(poses_io.reference_cloud_path(dataset, i), capacity=cap)
-            for i in indices]
+    paths = [poses_io.reference_cloud_path(dataset, i) for i in indices]
+    if native.available():
+        try:
+            pts, mask, cols, _ = native.read_pcd_batch_padded(paths, cap, PAD_COORD)
+            return [
+                Cloud(points=jnp.asarray(pts[b]), mask=jnp.asarray(mask[b]),
+                      colors=None if cols is None else jnp.asarray(cols[b]))
+                for b in range(len(paths))
+            ]
+        except RuntimeError:
+            pass
+    return [load_cloud(p, capacity=cap) for p in paths]
 
 
 def compact(c: Cloud, capacity: int) -> Cloud:
@@ -143,15 +170,22 @@ def plan_scale_caps(clouds: list[Cloud], scales: list[float],
     full NCLT circuit peaks at 9,490 points at scale 0.5).  Host-side numpy:
     ~1 ms per cloud per scale, amortized once per run.
     """
+    from .. import native
+
     full_cap = clouds[0].capacity
+    use_native = native.available()
+    valid_pts = [np.asarray(c.points, np.float32)[np.asarray(c.mask)] for c in clouds]
     caps = []
     for v in scales:
         worst = 0
-        for c in clouds:
-            pts = np.asarray(c.points, np.float32)[np.asarray(c.mask)]
-            ijk = np.floor((pts - pts.min(axis=0)) / np.float32(v)).astype(np.int64)
-            key = (ijk[:, 0] << 42) + (ijk[:, 1] << 21) + ijk[:, 2]
-            worst = max(worst, int(np.unique(key).size))
+        for pts in valid_pts:
+            if use_native:
+                count = native.count_voxels(pts, v)
+            else:
+                ijk = np.floor((pts - pts.min(axis=0)) / np.float32(v)).astype(np.int64)
+                key = (ijk[:, 0] << 42) + (ijk[:, 1] << 21) + ijk[:, 2]
+                count = int(np.unique(key).size)
+            worst = max(worst, count)
         caps.append(min(-(-(worst + margin) // bucket) * bucket, full_cap))
     return tuple(caps)
 

@@ -72,7 +72,7 @@ def read_pcd(path: str | os.PathLike) -> PcdData:
             rec = np.frombuffer(raw, dtype=dtype, count=n_points)
         elif mode == "ascii":
             rec = np.loadtxt(fh, dtype=np.float64, max_rows=n_points)
-            rec = np.core.records.fromarrays(
+            rec = np.rec.fromarrays(
                 [rec[:, i].astype(dtype_fields[i][1]) for i in range(len(fields))],
                 dtype=dtype,
             )
