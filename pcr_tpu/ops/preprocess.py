@@ -66,9 +66,18 @@ def outlier_and_normals_sorted(
     normal_k: int = 20,
     q_tile: int = 1024,
     band: int = 2048,
+    spacing_hint=None,
 ) -> Cloud:
     """Fused outlier-removal + normals.  Returns a Cloud whose rows are in
-    sorted-sweep-axis order (a permutation of the input's valid rows)."""
+    sorted-sweep-axis order (a permutation of the input's valid rows).
+
+    ``spacing_hint`` (typically the voxel size of the cloud) switches the
+    pass-1 neighborhood threshold from ``approx_min_k`` to a log-space count
+    bisection over [0.05*hint, 100*hint]: approx_min_k is the single most
+    expensive op here (18 of 26 ms at 17k points, measured), while each
+    bisection step is a read-only fused reduce over the CSE'd distance matrix
+    (~0.35 ms).  14 steps resolve the threshold to <0.1%, well inside
+    approx_min_k's own recall_target=0.99 slack."""
     n = points.shape[0]
 
     # --- one sort along the largest-extent axis --------------------------
@@ -107,18 +116,41 @@ def outlier_and_normals_sorted(
     # --- pass 1: outlier statistics (30-NN mean distance, excluding self) --
     d2 = d2_tiles()
     real = d2 < REAL_D2_MAX
-    dk, _ = jax.lax.approx_min_k(d2, nb_neighbors + 1, recall_target=0.99)
-    tau_out = dk[..., -1]                                # ~ (nb+1)-th smallest incl self
+    if spacing_hint is None:
+        dk, _ = jax.lax.approx_min_k(d2, nb_neighbors + 1, recall_target=0.99)
+        tau_out = dk[..., -1]                            # ~ (nb+1)-th smallest incl self
+    else:
+        # log-space bisection on the neighbor-count CDF for the (nb+1)-th
+        # smallest (incl self); each step is a fused reduce over d2.
+        k1 = nb_neighbors + 1
+        shape = d2.shape[:-1]
+        llo = jnp.full(shape, 2.0 * jnp.log(0.05 * spacing_hint))
+        lhi = jnp.full(shape, 2.0 * jnp.log(100.0 * spacing_hint))
+        for _ in range(14):                              # static unroll: keeps fusion
+            lmid = 0.5 * (llo + lhi)
+            c1 = jnp.sum(real & (d2 <= jnp.exp(lmid)[..., None]), axis=-1)
+            geq = c1 >= k1
+            llo = jnp.where(geq, llo, lmid)
+            lhi = jnp.where(geq, lmid, lhi)
+        tau_out = jnp.exp(lhi)
+        # queries whose 31-NN lies beyond the ceiling (sparse stragglers):
+        # their true mean distance is >= 100 voxels, far past any mu+sigma
+        # gate, so drop them outright — and EXCLUDE them from the mu/sigma
+        # statistics (a 1e9 sentinel there would inflate sigma and let every
+        # real outlier through).
+        c_hi = jnp.sum(real & (d2 <= tau_out[..., None]), axis=-1)
+        found = (c_hi >= k1).reshape(n_pad)[:n]
     w_out = (d2 <= tau_out[..., None]) & real
     cnt = jnp.sum(w_out, axis=-1)                        # includes self
     sum_d = jnp.sum(jnp.where(w_out, jnp.sqrt(jnp.maximum(d2, 0.0)), 0.0), axis=-1)
     mean_d = (sum_d / jnp.maximum(cnt - 1, 1)).reshape(n_pad)[:n]
 
-    wv = ms.astype(jnp.float32)
+    stat = ms if spacing_hint is None else (ms & found)
+    wv = stat.astype(jnp.float32)
     n_valid = jnp.maximum(jnp.sum(wv), 1.0)
     mu = jnp.sum(mean_d * wv) / n_valid
     var = jnp.sum((mean_d - mu) ** 2 * wv) / jnp.maximum(n_valid - 1.0, 1.0)
-    keep = ms & (mean_d <= mu + std_ratio * jnp.sqrt(var))
+    keep = stat & (mean_d <= mu + std_ratio * jnp.sqrt(var))
 
     # --- pass 2: normal covariances over the `normal_k` nearest survivors --
     # The survivor-kNN threshold comes from BISECTION on the neighbor-count
@@ -201,4 +233,5 @@ def preprocess_scale_fused(
         # slice replaces compact()'s argsort+gathers.
         d = Cloud(points=d.points[:scale_capacity], mask=d.mask[:scale_capacity])
     return outlier_and_normals_sorted(
-        d.points, d.mask, nb_neighbors, std_ratio, normal_k)
+        d.points, d.mask, nb_neighbors, std_ratio, normal_k,
+        spacing_hint=float(voxel_size))
