@@ -34,15 +34,34 @@ from ...utils import se3
 # SLERP circuit adjustment
 # ---------------------------------------------------------------------------
 
-def slerp_adjust_quaternions(q_rel: jnp.ndarray) -> jnp.ndarray:
+def slerp_adjust_quaternions(q_rel) -> jnp.ndarray:
     """(n, 4) relative circuit quaternions -> (n, 4) adjusted absolute ones.
 
     Forward accumulation a_i = q_{i-1} * ... * q_0 (i = 1..n-1) and backward
     c_i = (q_{n-1} * ... * q_i)^(-1); node i's absolute rotation is
     slerp(a_i, c_i, t = i/n), with the identity at node 0 — exactly the
     reference's scheme (3_...py:162-184).
+
+    Numpy inputs take a sequential float64 host path: ~900-link f32
+    quaternion chains drift the same way the f32 rotation-matrix chain does
+    (see se3._rev_matmul_scan); fixture-grade circuits need f64.
     """
     n = q_rel.shape[0]
+    if isinstance(q_rel, np.ndarray):
+        q64 = np.asarray(q_rel, np.float64)
+        fwd = np.empty_like(q64)
+        acc = q64[0]
+        fwd[0] = acc
+        for i in range(1, n):
+            acc = np.asarray(quat.qnormalize(quat.qmul(q64[i], acc)))
+            fwd[i] = acc
+        a = fwd[:-1]
+        q_closure = fwd[-1]
+        c = np.asarray(quat.qmul(a, quat.qinv(q_closure)[None, :]))
+        t = np.arange(1, n, dtype=np.float64) / n
+        adjusted = np.asarray(quat.slerp(a, c, t))
+        identity = np.array([[1.0, 0.0, 0.0, 0.0]], np.float64)
+        return np.concatenate([identity, adjusted], axis=0)
     # forward[i] = q_i * q_{i-1} * ... * q_0  (associative scan, flipped order)
     fwd = jax.lax.associative_scan(lambda a, b: quat.qmul(b, a), q_rel, axis=0)
     a = fwd[:-1]  # a_{i+1} for i = 0..n-2  -> nodes 1..n-1
@@ -56,6 +75,13 @@ def slerp_adjust_quaternions(q_rel: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([identity, adjusted], axis=0)
 
 
+def _rel_quaternions(T_rel):
+    """Relative rotations -> quaternions; f64 on host, f32 on device."""
+    if isinstance(T_rel, np.ndarray):
+        return quat.from_rotation_matrix(np.asarray(se3.rot(T_rel), np.float64))
+    return quat.from_rotation_matrix(jnp.asarray(se3.rot(T_rel), jnp.float32))
+
+
 def refine_slerp(T_rel: np.ndarray) -> np.ndarray:
     """``reconstruir_Ts_para_origem_SLERP`` (3_...py:225-250): adjust rotations
     by circuit SLERP, then chain translations with the adjusted rotations.
@@ -64,9 +90,8 @@ def refine_slerp(T_rel: np.ndarray) -> np.ndarray:
     """
     xp = np if isinstance(T_rel, np.ndarray) else jnp
     n = T_rel.shape[0]
-    q_rel = quat.from_rotation_matrix(jnp.asarray(se3.rot(T_rel), jnp.float32))
-    q_adj = slerp_adjust_quaternions(q_rel)
-    R_adj = np.asarray(quat.as_rotation_matrix(q_adj), dtype=np.float64) if xp is np else quat.as_rotation_matrix(q_adj)
+    q_adj = slerp_adjust_quaternions(_rel_quaternions(T_rel))
+    R_adj = quat.as_rotation_matrix(q_adj)
     ts = se3.trans(T_rel)
     # Reference loop (3_...py:241-249): pose[i] stores the translation
     # accumulated *before* step i; step i adds R_adj[i] @ t_i.
@@ -170,11 +195,8 @@ def refine_slerp_lum(T_rel: np.ndarray, weights=None) -> np.ndarray:
     """``reconstruir_Ts_para_origem_SLERP_LUM`` (3_...py:258-284): SLERP-
     adjusted rotations rotate the LUM observations.  Returns (n, 4, 4)."""
     xp = np if isinstance(T_rel, np.ndarray) else jnp
-    q_rel = quat.from_rotation_matrix(jnp.asarray(se3.rot(T_rel), jnp.float32))
-    q_adj = slerp_adjust_quaternions(q_rel)
+    q_adj = slerp_adjust_quaternions(_rel_quaternions(T_rel))
     R_adj = quat.as_rotation_matrix(q_adj)
-    if xp is np:
-        R_adj = np.asarray(R_adj, dtype=np.float64)
     X = _lum_solve(T_rel, R_adj, weights)
     t_nodes = xp.concatenate([xp.zeros((1, 3), dtype=X.dtype), X], axis=0)
     return se3.make_pose(R_adj, t_nodes)

@@ -35,7 +35,13 @@ Semantics deviations from the exact ops/outlier.py + ops/normals.py chain
     couple of points, and distance ties at the threshold are all included;
   * Open3D recomputes the normals 20-NN on the *filtered* cloud; we drop
     filtered-out candidates from the shared band instead — identical unless a
-    removed point sat inside the 20-neighborhood (a few % of points).
+    removed point sat inside the 20-neighborhood (a few % of points);
+  * with ``spacing_hint`` set, points lacking nb_neighbors+1 in-band
+    neighbors within 100*hint are dropped outright AND excluded from the
+    mu/sigma statistics, whereas Open3D (and ops/outlier.py) include every
+    valid point in the statistics — on very sparse scans this makes the
+    filter slightly stricter than the reference (deliberate: a 1e9 sentinel
+    mean-distance would inflate sigma and let every real outlier through).
 """
 
 from __future__ import annotations
@@ -54,11 +60,31 @@ SENTINEL = 1.0e6
 REAL_D2_MAX = 1.0e10   # any query-candidate pair with d2 above this involves a sentinel
 
 
+def outlier_and_normals_sorted(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    nb_neighbors: int = 30,
+    std_ratio: float = 1.0,
+    normal_k: int = 20,
+    q_tile: int = 1024,
+    band: int = 2048,
+    spacing_hint=None,
+) -> Cloud:
+    """Host-side validation wrapper (the guard must run before jit tracing
+    turns ``spacing_hint`` into a tracer; see _outlier_and_normals_sorted)."""
+    if isinstance(spacing_hint, (int, float)) and not spacing_hint > 0:
+        raise ValueError(f"spacing_hint must be > 0, got {spacing_hint}")
+    return _outlier_and_normals_sorted(
+        points, mask, nb_neighbors, std_ratio, normal_k, q_tile, band,
+        spacing_hint,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nb_neighbors", "normal_k", "q_tile", "band"),
 )
-def outlier_and_normals_sorted(
+def _outlier_and_normals_sorted(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     nb_neighbors: int = 30,
@@ -227,6 +253,10 @@ def preprocess_scale_fused(
 
     Drop-in accelerated equivalent of models/multiscale._preprocess_scale.
     """
+    if not voxel_size > 0.0:
+        # spacing_hint enters jnp.log(); <= 0 would silently produce NaN
+        # bisection bounds and drop every point.
+        raise ValueError(f"voxel_size must be > 0, got {voxel_size}")
     d = voxel_ops.voxel_downsample_cloud(c, voxel_size)
     if scale_capacity is not None and scale_capacity < d.capacity:
         # voxel output is prefix-compact (valid rows first), so a static

@@ -59,6 +59,52 @@ def test_fused_matches_exact_chain():
     assert np.quantile(diffs, 0.9) < 0.2, float(np.quantile(diffs, 0.9))
 
 
+def test_fused_spacing_hint_matches_exact_chain():
+    """The production default (preprocess_scale_fused always passes
+    voxel_size as spacing_hint) — the bisection branch must match the exact
+    outlier+normals chain on voxel-downsampled input (ADVICE r1)."""
+    rng = np.random.default_rng(5)
+    v = 0.25
+    c = voxel.voxel_downsample_cloud(make_surface(rng), v)
+
+    exact = normals.with_normals_knn(
+        outlier.remove_statistical_outliers(c, 30, 1.0), 20
+    )
+    fused = preprocess.outlier_and_normals_sorted(
+        c.points, c.mask, 30, 1.0, 20, spacing_hint=v
+    )
+
+    e_pts = np.asarray(exact.points)[np.asarray(exact.mask)]
+    f_pts = np.asarray(fused.points)[np.asarray(fused.mask)]
+    e_set = {tuple(p) for p in e_pts.round(4).tolist()}
+    f_set = {tuple(p) for p in f_pts.round(4).tolist()}
+    inter = len(e_set & f_set)
+    assert inter / max(len(e_set), len(f_set)) > 0.97, (len(e_set), len(f_set), inter)
+
+    e_n = {tuple(p): n for p, n in zip(
+        e_pts.round(4).tolist(), np.asarray(exact.normals)[np.asarray(exact.mask)].tolist())}
+    diffs = []
+    for p, n in zip(f_pts.round(4).tolist(),
+                    np.asarray(fused.normals)[np.asarray(fused.mask)].tolist()):
+        t = tuple(p)
+        if t in e_n:
+            a, b = np.asarray(n), np.asarray(e_n[t])
+            diffs.append(min(np.linalg.norm(a - b), np.linalg.norm(a + b)))
+    diffs = np.asarray(diffs)
+    assert np.median(diffs) < 0.02, float(np.median(diffs))
+
+
+def test_spacing_hint_guard():
+    import pytest
+
+    rng = np.random.default_rng(6)
+    c = make_surface(rng)
+    with pytest.raises(ValueError):
+        preprocess.preprocess_scale_fused(c, 0.0)
+    with pytest.raises(ValueError):
+        preprocess.outlier_and_normals_sorted(c.points, c.mask, spacing_hint=-1.0)
+
+
 def test_fused_removes_outliers():
     rng = np.random.default_rng(1)
     c = make_surface(rng)
