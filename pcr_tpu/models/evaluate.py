@@ -7,6 +7,12 @@ Replaces:
 
 Twist/block ordering is (omega, t) — rotation first — consistent with se3.py
 and the pose-graph solver.
+
+Correspondence search: the sorted-space band sweep (ops/band_nn) by default —
+stage 3 runs one information matrix per circuit pair (901 at NCLT scale,
+240k-point clouds at Courtyard scale), and the band's contiguous slab gather
+beats the full O(Nq*Nr) brute scan by the pruning ratio.  ``method='exact'``
+keeps the tiled brute-force path for oracle tests.
 """
 
 from __future__ import annotations
@@ -16,17 +22,32 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..ops import band_nn
 from ..ops import knn as knn_ops
 from ..utils import se3
 from ..utils.cloud import Cloud
 
 
-@jax.jit
-def evaluate_registration(source: Cloud, target: Cloud, max_dist, T):
+def _nn_within(p, p_mask, target: Cloud, max_dist, method: str, band: int):
+    """(sqdist, index) of each source point's nearest target within max_dist;
+    out-of-range entries get sqdist >= BIG."""
+    if method == "band":
+        return band_nn.nn1_band(
+            p, p_mask, target.points, target.mask, max_dist, band=band
+        )
+    d2, j = knn_ops.nn1(p, target.points, target.mask)
+    return jnp.where(d2 <= jnp.float32(max_dist) ** 2, d2, knn_ops.BIG), j
+
+
+@functools.partial(jax.jit, static_argnames=("method", "band"))
+def evaluate_registration(
+    source: Cloud, target: Cloud, max_dist, T, method: str = "band",
+    band: int = 2048,
+):
     """fitness = inlier fraction, inlier_rmse over correspondences < max_dist."""
     p = se3.transform_points(jnp.asarray(T, jnp.float32), source.points)
-    d2, _ = knn_ops.nn1(p, target.points, target.mask)
-    valid = source.mask & (d2 <= jnp.float32(max_dist) ** 2) & (d2 < knn_ops.BIG)
+    d2, _ = _nn_within(p, source.mask, target, max_dist, method, band)
+    valid = source.mask & (d2 < knn_ops.BIG)
     n_corr = jnp.sum(valid.astype(jnp.float32))
     n_src = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
     fitness = n_corr / n_src
@@ -34,14 +55,17 @@ def evaluate_registration(source: Cloud, target: Cloud, max_dist, T):
     return fitness, rmse, n_corr
 
 
-@jax.jit
-def information_matrix(source: Cloud, target: Cloud, max_dist, T):
+@functools.partial(jax.jit, static_argnames=("method", "band"))
+def information_matrix(
+    source: Cloud, target: Cloud, max_dist, T, method: str = "band",
+    band: int = 2048,
+):
     """6x6 information matrix Sum G^T G over inlier correspondences at pose T
     (Open3D ``get_information_matrix_from_point_clouds`` semantics: G built
     from the matched *target* points q as [-skew(q) | I])."""
     p = se3.transform_points(jnp.asarray(T, jnp.float32), source.points)
-    d2, j = knn_ops.nn1(p, target.points, target.mask)
-    valid = source.mask & (d2 <= jnp.float32(max_dist) ** 2) & (d2 < knn_ops.BIG)
+    d2, j = _nn_within(p, source.mask, target, max_dist, method, band)
+    valid = source.mask & (d2 < knn_ops.BIG)
     q = target.points[j]
     G = jnp.concatenate(
         [-se3.skew(q), jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), q.shape + (3,))],
@@ -49,3 +73,23 @@ def information_matrix(source: Cloud, target: Cloud, max_dist, T):
     )  # (N, 3, 6)
     w = valid.astype(jnp.float32)
     return jnp.einsum("nij,nik,n->jk", G, G, w)
+
+
+# Batched variants: vmap over stacked Cloud pairs (stage 3 computes one
+# information matrix per circuit pair — batching amortizes dispatch).
+@functools.partial(jax.jit, static_argnames=("method", "band"))
+def information_matrix_batch(
+    source: Cloud, target: Cloud, max_dist, T, method: str = "band",
+    band: int = 2048,
+):
+    f = functools.partial(information_matrix, method=method, band=band)
+    return jax.vmap(f, in_axes=(0, 0, None, 0))(source, target, max_dist, T)
+
+
+@functools.partial(jax.jit, static_argnames=("method", "band"))
+def evaluate_registration_batch(
+    source: Cloud, target: Cloud, max_dist, T, method: str = "band",
+    band: int = 2048,
+):
+    f = functools.partial(evaluate_registration, method=method, band=band)
+    return jax.vmap(f, in_axes=(0, 0, None, 0))(source, target, max_dist, T)

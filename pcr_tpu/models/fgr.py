@@ -196,6 +196,30 @@ def registration_fgr(
     return RegistrationResult(T, fitness, rmse, n_corr, jnp.int32(opts.iteration_number))
 
 
+def fgr_features(c: Cloud, voxel_size: float) -> tuple[Cloud, jnp.ndarray]:
+    """Per-cloud FGR preprocessing: hybrid normals (2v, 20) + FPFH (10v, 200)
+    (1_...py:44-50).  Split out so circuit runners compute each cloud's
+    features ONCE — every scan serves two adjacent pairs (pipeline stage 1),
+    halving the dominant FPFH cost of the reference's per-pair loop."""
+    c = normals_ops.with_normals_hybrid(c, 2 * voxel_size, 20)
+    feat = fpfh_ops.fpfh(c.points, c.normals, c.mask, 10 * voxel_size, 200)
+    return c, feat
+
+
+def default_options(
+    source: Cloud, target: Cloud, voxel_size: float,
+    use_absolute_scale: bool = False,
+) -> FgrOptions:
+    """The script-1 option set (1_...py:52-59)."""
+    n_pts = (int(source.capacity) + int(target.capacity)) // 2  # static proxy
+    return FgrOptions(
+        use_absolute_scale=use_absolute_scale,
+        maximum_correspondence_distance=2 * voxel_size,
+        iteration_number=300,
+        maximum_tuple_count=max(int(0.2 * n_pts), 256),
+    )
+
+
 def registro_fgr(
     source: Cloud, target: Cloud, voxel_size: float,
     use_absolute_scale: bool = False, seed: int = 0,
@@ -206,15 +230,7 @@ def registro_fgr(
     use_absolute_scale defaults to the script-1 value (False); the
     ALL_FUNCTIONS.py:191 variant uses True.
     """
-    src = normals_ops.with_normals_hybrid(source, 2 * voxel_size, 20)
-    tgt = normals_ops.with_normals_hybrid(target, 2 * voxel_size, 20)
-    feat_src = fpfh_ops.fpfh(src.points, src.normals, src.mask, 10 * voxel_size, 200)
-    feat_tgt = fpfh_ops.fpfh(tgt.points, tgt.normals, tgt.mask, 10 * voxel_size, 200)
-    n_pts = (int(src.capacity) + int(tgt.capacity)) // 2  # static proxy for tuple cap
-    opts = FgrOptions(
-        use_absolute_scale=use_absolute_scale,
-        maximum_correspondence_distance=2 * voxel_size,
-        iteration_number=300,
-        maximum_tuple_count=max(int(0.2 * n_pts), 256),
-    )
+    src, feat_src = fgr_features(source, voxel_size)
+    tgt, feat_tgt = fgr_features(target, voxel_size)
+    opts = default_options(src, tgt, voxel_size, use_absolute_scale)
     return registration_fgr(src, tgt, feat_src, feat_tgt, opts, seed=seed)

@@ -116,26 +116,76 @@ def _psum(x, axis_name):
     return x if axis_name is None else jax.lax.psum(x, axis_name)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations", "axis_name"))
+def _block_thomas_solve(D, U, rhs):
+    """Solve the SPD block-tridiagonal system with 6x6 blocks.
+
+    D: (m, 6, 6) diagonal blocks; U: (m-1, 6, 6) super-diagonal blocks
+    (coupling block j to j+1; the sub-diagonal is U^T); rhs: (m, 6).
+    Forward elimination + back substitution as two ``lax.scan``s — O(m)
+    with 6x6 solves, vs the O(m^3) dense solve.  For the NCLT circuit
+    (m = 900) this is a ~4 us/step scan instead of a 5406x5406 Cholesky
+    per LM iteration (117 MB H eliminated entirely).
+    """
+    m = D.shape[0]
+    U_next = jnp.concatenate([U, jnp.zeros((1, 6, 6), D.dtype)])     # U_j (0 at last)
+    U_prev = jnp.concatenate([jnp.zeros((1, 6, 6), D.dtype), U])     # U_{j-1}
+
+    def fwd(carry, inp):
+        C_prev, d_prev = carry
+        Dj, Uj, Upj, rj = inp
+        L = jnp.swapaxes(Upj, -1, -2)                # sub-diagonal block
+        S = Dj - L @ C_prev
+        sol = jnp.linalg.solve(
+            S, jnp.concatenate([Uj, (rj - L @ d_prev)[:, None]], axis=1)
+        )
+        C, d = sol[:, :6], sol[:, 6]
+        return (C, d), (C, d)
+
+    init = (jnp.zeros((6, 6), D.dtype), jnp.zeros((6,), D.dtype))
+    _, (Cs, ds) = jax.lax.scan(fwd, init, (D, U_next, U_prev, rhs))
+
+    def bwd(x_next, inp):
+        C, d = inp
+        x = d - C @ x_next
+        return x, x
+
+    _, xs_rev = jax.lax.scan(bwd, jnp.zeros((6,), D.dtype), (Cs[::-1], ds[::-1]))
+    return xs_rev[::-1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "axis_name", "solver")
+)
 def optimize_pose_graph_once(
     graph: PoseGraph,
     mu: float = 1.0,
     max_iterations: int = 100,
     rel_tol: float = 1e-9,
     axis_name: str | None = None,
+    solver: str = "dense",
 ):
     """One line-process LM optimization pass. Returns (nodes, final cost).
 
     With ``axis_name`` set (inside shard_map over an edge-sharded graph), each
-    device builds H/b from its local edge shard and the normal equations are
+    device builds the normal equations from its local edge shard and they are
     all-reduced with psum — the distributed pose-graph solve of SURVEY §2.4.
     Nodes are replicated; the solve is identical on every device.
+
+    ``solver='tridiag'`` exploits the circuit structure (edges (i, i+1) plus
+    the single loop edge (n-1, 0), as built by ``build_circuit_graph`` for
+    3_...py:307-340): after gauge-fixing node 0 the reduced Hessian is purely
+    block-tridiagonal, solved in O(n) with 6x6 block Thomas elimination, and
+    only (n, 6, 6) block arrays are ever materialized/psummed (vs the dense
+    (6n)^2 system — 117 MB at n=901).  Valid ONLY for such circuit graphs;
+    ``global_optimization`` auto-detects this.  Non-band couplings other than
+    the loop edge's (which gauge fixing removes exactly) would be silently
+    dropped — callers must not pass general k-connectivity graphs here.
     """
     n = graph.nodes.shape[0]
     zeros6 = jnp.zeros((graph.edge_src.shape[0], 6), jnp.float32)
     Tinv = se3.invert(graph.edge_T)
 
-    def build_system(nodes):
+    def edge_blocks(nodes):
         w, r, _ = _line_process_weights(graph, nodes, mu)
         w = w * graph.edge_mask.astype(jnp.float32)
         Ji, Jj = _edge_jacobians(zeros6, zeros6, nodes[graph.edge_src], nodes[graph.edge_dst], Tinv)
@@ -146,7 +196,10 @@ def optimize_pose_graph_once(
         Hij = jnp.einsum("eji,ejk->eik", Ji, LJj)
         bi = jnp.einsum("eji,ej->ei", LJi, r)
         bj = jnp.einsum("eji,ej->ei", LJj, r)
+        return Hii, Hjj, Hij, bi, bj
 
+    def build_dense(nodes):
+        Hii, Hjj, Hij, bi, bj = edge_blocks(nodes)
         H = jnp.zeros((n, 6, n, 6), jnp.float32)
         src, dst = graph.edge_src, graph.edge_dst
         H = H.at[src, :, src, :].add(Hii)
@@ -156,21 +209,51 @@ def optimize_pose_graph_once(
         b = jnp.zeros((n, 6), jnp.float32)
         b = b.at[src].add(bi)
         b = b.at[dst].add(bj)
-        H, b = _psum((H.reshape(6 * n, 6 * n), b.reshape(6 * n)), axis_name)
-        return H, b
+        return _psum((H.reshape(6 * n, 6 * n), b.reshape(6 * n)), axis_name)
+
+    def build_tridiag(nodes):
+        """Scatter edge blocks into (n, 6, 6) diagonal + super-diagonal
+        bands and the (n, 6) gradient — the only arrays psummed."""
+        Hii, Hjj, Hij, bi, bj = edge_blocks(nodes)
+        src, dst = graph.edge_src, graph.edge_dst
+        diag = (
+            jnp.zeros((n, 6, 6), jnp.float32).at[src].add(Hii).at[dst].add(Hjj)
+        )
+        # only consecutive couplings enter the band; the loop edge's coupling
+        # to node 0 is removed exactly by the gauge fix below
+        adj = (dst == src + 1)[:, None, None]
+        off = jnp.zeros((n, 6, 6), jnp.float32).at[src].add(
+            jnp.where(adj, Hij, 0.0)
+        )
+        b = jnp.zeros((n, 6), jnp.float32).at[src].add(bi).at[dst].add(bj)
+        return _psum((diag, off, b), axis_name)
 
     def cost_of(nodes):
         return _psum(_total_cost(graph, nodes, mu), axis_name)
 
-    def body(state):
-        nodes, lam, cost, it, done = state
-        H, b = build_system(nodes)
+    def solve_dense(nodes, lam):
+        H, b = build_dense(nodes)
         # Gauge fix: node 0 (reference_node=0) is excluded from the solve.
         Hr = H[6:, 6:]
         br = b[6:]
         Hd = Hr + lam * jnp.diag(jnp.diag(Hr) + 1e-12)
-        delta = jnp.concatenate([jnp.zeros(6, jnp.float32), -jnp.linalg.solve(Hd, br)])
-        delta = delta.reshape(n, 6)
+        return -jnp.linalg.solve(Hd, br).reshape(n - 1, 6)
+
+    def solve_tridiag(nodes, lam):
+        diag, off, b = build_tridiag(nodes)
+        D = diag[1:]                      # nodes 1..n-1 (gauge fix drops node 0)
+        dd = jnp.diagonal(D, axis1=-2, axis2=-1)
+        D = D + jax.vmap(jnp.diag)(lam * (dd + 1e-12))
+        U = off[1 : n - 1]                # coupling node j -> j+1, j = 1..n-2
+        return -_block_thomas_solve(D, U, b[1:])
+
+    solve = {"dense": solve_dense, "tridiag": solve_tridiag}[solver]
+
+    def body(state):
+        nodes, lam, cost, it, done = state
+        delta = jnp.concatenate(
+            [jnp.zeros((1, 6), jnp.float32), solve(nodes, lam)], axis=0
+        )
         new_nodes = jax.vmap(lambda d, X: se3.compose(se3.se3_exp(d), X))(delta, nodes)
         new_cost = cost_of(new_nodes)
         improved = new_cost < cost
@@ -190,15 +273,35 @@ def optimize_pose_graph_once(
     return nodes, cost
 
 
+def is_circuit_graph(graph: PoseGraph) -> bool:
+    """Host-side structure check: edges are exactly (i, i+1) for i < n-1 plus
+    the loop edge (n-1, 0) — the stage-3 circuit (3_...py:307-340), whose
+    gauge-fixed Hessian is block-tridiagonal."""
+    src = np.asarray(graph.edge_src)
+    dst = np.asarray(graph.edge_dst)
+    n = int(graph.nodes.shape[0])
+    if src.shape[0] != n:
+        return False
+    return bool(
+        np.array_equal(src, np.arange(n))
+        and np.array_equal(dst, np.concatenate([np.arange(1, n), [0]]))
+    )
+
+
 def global_optimization(
     graph: PoseGraph,
     max_correspondence_distance: float = 0.2,
     edge_prune_threshold: float = 0.25,
     preference_loop_closure: float = 1.0,
     max_iterations: int = 100,
+    solver: str | None = None,
 ) -> PoseGraph:
     """Full Open3D-style pass (3_...py:343-354): optimize, prune uncertain
     edges with line-process weight < edge_prune_threshold, re-optimize.
+
+    ``solver=None`` auto-selects: block-tridiagonal O(n) elimination for
+    circuit graphs (the flagship n=901 NCLT case), dense Cholesky otherwise
+    (general k-connectivity graphs from ``full_registration``).
 
     The line-process scale mu must match the magnitude of r^T Info r, and the
     information matrices are sums over all inlier correspondences (their
@@ -206,14 +309,20 @@ def global_optimization(
     set mu = preference * max_corr_dist^2 * mean(n_corr over loop edges), so a
     loop edge whose metric residual is well under max_corr_dist keeps l ~ 1.
     """
+    if solver is None:
+        solver = "tridiag" if is_circuit_graph(graph) else "dense"
     tr = jnp.einsum("eii->e", graph.edge_info[:, 3:6, 3:6]) / 3.0
     unc = graph.uncertain.astype(jnp.float32)
     n_corr_mean = jnp.sum(tr * unc) / jnp.maximum(jnp.sum(unc), 1.0)
     n_corr_mean = jnp.maximum(n_corr_mean, 1.0)
     mu = preference_loop_closure * max_correspondence_distance**2 * n_corr_mean
-    nodes, _ = optimize_pose_graph_once(graph, mu=mu, max_iterations=max_iterations)
+    nodes, _ = optimize_pose_graph_once(
+        graph, mu=mu, max_iterations=max_iterations, solver=solver
+    )
     w, _, _ = _line_process_weights(graph, nodes, mu)
     keep = (~graph.uncertain) | (w >= edge_prune_threshold)
     pruned = graph._replace(nodes=nodes, edge_mask=graph.edge_mask & keep)
-    nodes, _ = optimize_pose_graph_once(pruned, mu=mu, max_iterations=max_iterations)
+    nodes, _ = optimize_pose_graph_once(
+        pruned, mu=mu, max_iterations=max_iterations, solver=solver
+    )
     return pruned._replace(nodes=nodes)

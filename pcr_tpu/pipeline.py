@@ -100,14 +100,31 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
     clouds = clouds or _load_circuit_clouds(cfg, range(n))
     metrics = metrics if metrics is not None else PairMetrics()
     poses = []
+    # Per-cloud FGR features (normals + FPFH — the reference's hottest kernel,
+    # 1_...py:44-50) are computed ONCE per scan and shared between the two
+    # adjacent pairs each scan serves, mirroring stage 2's pyramid cache.
+    feat_cache: dict[int, tuple] = {}
+
+    def features(i):
+        if i not in feat_cache:
+            feat_cache[i] = fgr_mod.fgr_features(clouds[i], cfg.voxel_size)
+        return feat_cache[i]
+
     for src_i, tgt_i in circuit_pairs(n):
         t0 = time.time()
-        res = fgr_mod.registro_fgr(
-            clouds[src_i], clouds[tgt_i], cfg.voxel_size, seed=cfg.fgr_seed + src_i
+        src, feat_src = features(src_i)
+        tgt, feat_tgt = features(tgt_i)
+        opts = fgr_mod.default_options(src, tgt, cfg.voxel_size)
+        res = fgr_mod.registration_fgr(
+            src, tgt, feat_src, feat_tgt, opts, seed=cfg.fgr_seed + src_i
         )
         T = np.asarray(res.transformation, np.float64)
         poses.append(T)
-        metrics.add("fgr", src_i, tgt_i, res.fitness, res.inlier_rmse, time.time() - t0)
+        metrics.add("fgr", src_i, tgt_i, float(res.fitness),
+                    float(res.inlier_rmse), time.time() - t0)
+        # keep only features still needed (next pair reuses cloud src_i)
+        for key in [k for k in feat_cache if k not in (src_i, (src_i + 1) % n)]:
+            del feat_cache[key]
     poses = np.stack(poses)
     poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR"), poses)
     metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"))
@@ -223,19 +240,25 @@ def run_stage3_global(cfg: PipelineConfig, relative_poses: np.ndarray | None = N
     if "pose_graph" in methods:
         clouds = clouds or _load_circuit_clouds(cfg, range(n))
         abs_poses = np.asarray(se3.relative_to_absolute(relative_poses))
-        infos = []
-        for (src_i, tgt_i), T in zip(circuit_pairs(n), relative_poses):
-            # info matrix at the *inverted* edge pose, as stage 3 does
-            # (3_...py:315-320): clouds[i] -> clouds[i+1] with T_{i->i+1}
-            T_edge = np.asarray(se3.invert(T))
-            infos.append(
-                np.asarray(
-                    eval_mod.information_matrix(
-                        clouds[tgt_i], clouds[src_i], cfg.voxel_size, T_edge.astype(np.float32)
-                    )
+        # Info matrix at the *inverted* edge pose, as stage 3 does
+        # (3_...py:315-320): clouds[i] -> clouds[i+1] with T_{i->i+1}.
+        # Batched: vmapped band-NN info matrices over pair chunks.
+        pairs = circuit_pairs(n)
+        T_edges = np.asarray(se3.invert(np.asarray(relative_poses))).astype(np.float32)
+        infos = np.zeros((n, 6, 6), np.float32)
+        B = max(cfg.batch_size, 4)
+        for start in range(0, n, B):
+            chunk = list(range(start, min(start + B, n)))
+            idx = chunk + [chunk[-1]] * (B - len(chunk))
+            src = cloud_mod.stack_clouds([clouds[pairs[k][1]] for k in idx])
+            tgt = cloud_mod.stack_clouds([clouds[pairs[k][0]] for k in idx])
+            I = np.asarray(
+                eval_mod.information_matrix_batch(
+                    src, tgt, cfg.voxel_size, jnp.asarray(T_edges[idx])
                 )
             )
-        graph = pg_mod.build_circuit_graph(abs_poses, relative_poses, np.stack(infos))
+            infos[chunk] = I[: len(chunk)]
+        graph = pg_mod.build_circuit_graph(abs_poses, relative_poses, infos)
         out = pg_mod.global_optimization(
             graph, max_correspondence_distance=2 * cfg.voxel_size,
             edge_prune_threshold=0.25,

@@ -104,6 +104,44 @@ def test_information_matrix_structure(rng):
     assert (w > 0).all()
 
 
+def test_evaluate_band_matches_exact(rng):
+    """The default band-sweep correspondence path must equal the brute-force
+    tiled path for both fitness/rmse and the information matrix."""
+    pts = rng.uniform(-10, 10, size=(3000, 3)).astype(np.float32)
+    pts[:, 2] *= 0.1
+    a = cloud.from_numpy(pts, capacity=4096)
+    shift = pts + rng.normal(size=(3000, 3)).astype(np.float32) * 0.05
+    b = cloud.from_numpy(shift, capacity=4096)
+    T = np.eye(4, dtype=np.float32)
+    fit_b, rmse_b, n_b = evaluate.evaluate_registration(a, b, 0.2, T, method="band")
+    fit_e, rmse_e, n_e = evaluate.evaluate_registration(a, b, 0.2, T, method="exact")
+    assert float(n_b) == float(n_e)
+    np.testing.assert_allclose(float(fit_b), float(fit_e), rtol=1e-6)
+    np.testing.assert_allclose(float(rmse_b), float(rmse_e), rtol=1e-5)
+    I_b = np.asarray(evaluate.information_matrix(a, b, 0.2, T, method="band"))
+    I_e = np.asarray(evaluate.information_matrix(a, b, 0.2, T, method="exact"))
+    np.testing.assert_allclose(I_b, I_e, rtol=1e-5, atol=1e-3)
+
+
+def test_information_matrix_batch_matches_loop(rng):
+    pts = rng.uniform(-5, 5, size=(800, 3)).astype(np.float32)
+    clouds = [
+        cloud.from_numpy(
+            pts + rng.normal(size=(800, 3)).astype(np.float32) * 0.02, capacity=1024
+        )
+        for _ in range(3)
+    ]
+    src = cloud.stack_clouds(clouds)
+    tgt = cloud.stack_clouds(clouds[::-1])
+    T = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    batched = np.asarray(evaluate.information_matrix_batch(src, tgt, 0.2, T))
+    for k in range(3):
+        single = np.asarray(
+            evaluate.information_matrix(clouds[k], clouds[2 - k], 0.2, T[k])
+        )
+        np.testing.assert_allclose(batched[k], single, rtol=1e-5, atol=1e-3)
+
+
 @pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
 def test_mgicp_facade_golden_pair():
     """Minimum end-to-end slice (SURVEY §7 step 4): refine Facade s1->s0 from

@@ -252,6 +252,36 @@ def test_pose_graph_closes_loop(rng):
     np.testing.assert_allclose(after[0], np.eye(4), atol=1e-5)
 
 
+def test_pose_graph_tridiag_matches_dense(rng):
+    """The O(n) block-Thomas circuit solver must reproduce the dense solve."""
+    graph, _ = make_pose_graph(rng, 16, drift=0.03)
+    assert pose_graph.is_circuit_graph(graph)
+    nodes_d, cost_d = pose_graph.optimize_pose_graph_once(
+        graph, mu=100.0, max_iterations=30, solver="dense"
+    )
+    nodes_t, cost_t = pose_graph.optimize_pose_graph_once(
+        graph, mu=100.0, max_iterations=30, solver="tridiag"
+    )
+    np.testing.assert_allclose(
+        np.asarray(nodes_t), np.asarray(nodes_d), atol=5e-4
+    )
+    np.testing.assert_allclose(float(cost_t), float(cost_d), rtol=1e-3)
+
+
+def test_is_circuit_graph_rejects_k_connectivity(rng):
+    graph, _ = make_pose_graph(rng, 8, drift=0.01)
+    # add an extra (0 -> 2) loop edge: no longer a pure circuit
+    g2 = graph._replace(
+        edge_src=jnp.concatenate([graph.edge_src, jnp.asarray([0], jnp.int32)]),
+        edge_dst=jnp.concatenate([graph.edge_dst, jnp.asarray([2], jnp.int32)]),
+        edge_T=jnp.concatenate([graph.edge_T, graph.edge_T[:1]]),
+        edge_info=jnp.concatenate([graph.edge_info, graph.edge_info[:1]]),
+        uncertain=jnp.concatenate([graph.uncertain, jnp.asarray([True])]),
+        edge_mask=jnp.concatenate([graph.edge_mask, jnp.asarray([True])]),
+    )
+    assert not pose_graph.is_circuit_graph(g2)
+
+
 def test_pose_graph_prunes_bad_loop_edge(rng):
     graph, gt = make_pose_graph(rng, 10, drift=0.01)
     # corrupt the loop edge grossly -> line process should prune it
