@@ -118,10 +118,15 @@ def main(argv=None) -> int:
             cfg, relative_poses=rel, n=n, methods=tuple(args.methods))
         summary["methods"] = sorted(results)
     elif args.command == "full":
+        from .utils import cloud as cloud_mod
+
         metrics = pipeline.PairMetrics()
-        rel1 = pipeline.run_stage1_fgr(cfg, n=n, metrics=metrics)
-        rel2 = pipeline.run_stage2_mgicp(cfg, init_poses=rel1, n=n, metrics=metrics)
-        results = pipeline.run_stage3_global(cfg, relative_poses=rel2, n=n)
+        clouds = cloud_mod.load_dataset(cfg.dataset, indices=range(n))
+        rel1 = pipeline.run_stage1_fgr(cfg, clouds=clouds, n=n, metrics=metrics)
+        rel2 = pipeline.run_stage2_mgicp(
+            cfg, init_poses=rel1, clouds=clouds, n=n, metrics=metrics)
+        results = pipeline.run_stage3_global(
+            cfg, relative_poses=rel2, clouds=clouds, n=n)
         summary["methods"] = sorted(results)
         summary["success_rate"] = metrics.success_rate(cfg.fitness_gate)
     elif args.command == "report":

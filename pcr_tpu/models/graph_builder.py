@@ -25,15 +25,20 @@ from . import multiscale as ms_mod
 from .global_refine import pose_graph as pg_mod
 
 
-def coarse_to_fine(source: Cloud, target: Cloud, voxel_size: float, seed: int = 0):
+def coarse_to_fine(source: Cloud, target: Cloud, voxel_size: float, seed: int = 0,
+                   n_scales: int = 3, iterations: int = 100):
     """``Coarse_to_fine_FGR_M_GICP``: FGR seed -> 3-scale doubling M-GICP ->
-    information matrix.  Returns (RegistrationResult, (6, 6) info matrix)."""
+    information matrix.  Returns (RegistrationResult, (6, 6) info matrix).
+
+    ``n_scales``/``iterations`` default to the reference's values
+    (ALL_FUNCTIONS.py:325); tests use reduced budgets.
+    """
     res_fgr = fgr_mod.registro_fgr(
         source, target, voxel_size, use_absolute_scale=True, seed=seed
     )
     res = ms_mod.multiscale_gicp(
         source, target, res_fgr.transformation,
-        n_scales=3, iterations=100, schedule="doubling",
+        n_scales=n_scales, iterations=iterations, schedule="doubling",
     )
     info = eval_mod.information_matrix(
         source, target, voxel_size, res.transformation
@@ -42,7 +47,8 @@ def coarse_to_fine(source: Cloud, target: Cloud, voxel_size: float, seed: int = 
 
 
 def full_registration(clouds: list[Cloud], voxel_size: float, k: int,
-                      fitness_gate: float = 0.40, log=print) -> pg_mod.PoseGraph:
+                      fitness_gate: float = 0.40, log=print,
+                      n_scales: int = 3, iterations: int = 100) -> pg_mod.PoseGraph:
     """Builds the k-connectivity PoseGraph over `clouds`.
 
     Edge direction follows the reference: the pairwise result T registers
@@ -61,6 +67,7 @@ def full_registration(clouds: list[Cloud], voxel_size: float, k: int,
             res, info = coarse_to_fine(
                 clouds[source_id], clouds[target_id], voxel_size,
                 seed=source_id * n + target_id,
+                n_scales=n_scales, iterations=iterations,
             )
             T = np.asarray(res.transformation, np.float64)
             fit = float(res.fitness)

@@ -110,7 +110,8 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
             feat_cache[i] = fgr_mod.fgr_features(clouds[i], cfg.voxel_size)
         return feat_cache[i]
 
-    for src_i, tgt_i in circuit_pairs(n):
+    ckpt = os.path.join(cfg.out_dir("metrics"), "stage1_partial.npy")
+    for k, (src_i, tgt_i) in enumerate(circuit_pairs(n)):
         t0 = time.time()
         src, feat_src = features(src_i)
         tgt, feat_tgt = features(tgt_i)
@@ -123,8 +124,12 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
         metrics.add("fgr", src_i, tgt_i, float(res.fitness),
                     float(res.inlier_rmse), time.time() - t0)
         # keep only features still needed (next pair reuses cloud src_i)
-        for key in [k for k in feat_cache if k not in (src_i, (src_i + 1) % n)]:
+        for key in [key for key in feat_cache if key not in (src_i, (src_i + 1) % n)]:
             del feat_cache[key]
+        if (k + 1) % 50 == 0:  # crash-resumable partial checkpoint
+            os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+            np.save(ckpt, np.stack(poses))
+            metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"))
     poses = np.stack(poses)
     poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR"), poses)
     metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"))
@@ -165,6 +170,7 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
                 )
             return pyr_cache[i]
 
+        ckpt = os.path.join(cfg.out_dir("metrics"), "stage2_partial.npy")
         for k, (s, t) in enumerate(pairs):
             t0 = time.time()
             res = ms_mod.multiscale_gicp_pyramids(
@@ -178,6 +184,10 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
             # keep only pyramids still needed (next pair reuses cloud s)
             for key in [key for key in pyr_cache if key not in (s, (s + 1) % n)]:
                 del pyr_cache[key]
+            if (k + 1) % 50 == 0:  # crash-resumable partial checkpoint
+                os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+                np.save(ckpt, out[: k + 1])
+                metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"))
         poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR_GICP"), out)
         abs_poses = se3.relative_to_absolute(out)
         poses_io.save_absolute_poses(

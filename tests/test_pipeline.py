@@ -51,6 +51,98 @@ def test_stage3_on_fixtures(tmp_path):
         assert np.abs(results[name][:, :3, 3]).max() < np.abs(chained[:, :3, 3]).max() + 5.0
 
 
+def _bumpy_clouds(rng, n_clouds=4, n=1500, cap=2048, step=0.4):
+    """Sequence of overlapping bumpy-surface scans with known relative poses
+    (each scan views the same surface from a shifted/rotated frame)."""
+    from pcr_tpu.utils import cloud as cloud_mod
+    from pcr_tpu.utils.se3 import so3_exp
+    import jax.numpy as jnp
+
+    clouds, gt_poses = [], []
+    for i in range(n_clouds):
+        # sample a window of the FIXED world surface around scan i's position
+        xyw = rng.uniform(-4, 4, size=(n, 2)).astype(np.float32)
+        xyw[:, 0] += i * step
+        z = (np.sin(1.3 * xyw[:, :1]) * 0.5 + np.cos(0.9 * xyw[:, 1:2]) * 0.4
+             + 0.2 * np.sin(2.7 * xyw[:, :1] * xyw[:, 1:2] / 4))
+        pts_world = np.concatenate([xyw, z], axis=1).astype(np.float32)
+        # scan i's sensor frame: world shifted by i*step with a small yaw
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(so3_exp(jnp.asarray([0, 0, 0.05 * i], jnp.float32)))
+        T[:3, 3] = [i * step, 0.1 * i, 0.0]
+        Tinv = np.linalg.inv(T)
+        pts_local = pts_world @ Tinv[:3, :3].T + Tinv[:3, 3]
+        clouds.append(cloud_mod.from_numpy(pts_local.astype(np.float32), capacity=cap))
+        gt_poses.append(T)
+    return clouds, np.stack(gt_poses)
+
+
+def test_coarse_to_fine(rng):
+    """P5: FGR -> doubling M-GICP -> info matrix recovers a known pose on
+    real-istic overlapping scans (reduced budget for CI)."""
+    from pcr_tpu.models import graph_builder
+
+    clouds, gt = _bumpy_clouds(rng, n_clouds=2)
+    res, info = graph_builder.coarse_to_fine(
+        clouds[1], clouds[0], voxel_size=0.2, n_scales=2, iterations=25
+    )
+    # T registers cloud1 onto cloud0: equals gt[0]^-1 @ gt[1] = gt[1]
+    T = np.asarray(res.transformation, np.float64)
+    dR, dt = se3.pose_errors(T, gt[1])
+    assert float(res.fitness) > 0.4
+    assert float(dt) < 0.05, (dt, T, gt[1])
+    I = np.asarray(info)
+    assert I.shape == (6, 6) and np.isfinite(I).all()
+    assert (np.linalg.eigvalsh(I) >= -1e-3).all()
+
+
+def test_full_registration_k2(rng):
+    """P6: k-connectivity graph builder on 4 overlapping scans; the optimized
+    graph must land every node near its ground-truth pose."""
+    from pcr_tpu.models import graph_builder
+    from pcr_tpu.models.global_refine import pose_graph as pg
+
+    clouds, gt = _bumpy_clouds(rng, n_clouds=4)
+    graph = graph_builder.full_registration(
+        clouds, voxel_size=0.2, k=2, log=None, n_scales=2, iterations=25
+    )
+    n, k = 4, 2
+    assert graph.edge_src.shape[0] == k * (2 * n - k - 1) // 2  # 5 edges
+    assert not pg.is_circuit_graph(graph)          # k=2 is not a pure circuit
+    out = pg.global_optimization(graph, max_correspondence_distance=0.4)
+    nodes = np.asarray(out.nodes, np.float64)
+    for i in range(4):
+        dR, dt = se3.pose_errors(nodes[i], gt[i])
+        assert float(dt) < 0.08, (i, dt)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_full_registration_facade_k2(tmp_path):
+    """P6 on real data: k=2 graph over 4 Facade scans at subsampled capacity
+    (VERDICT r1 item 4/5 — full_registration had never touched real data)."""
+    from pcr_tpu.models import graph_builder
+    from pcr_tpu.models.global_refine import pose_graph as pg
+    from pcr_tpu.ops import voxel as voxel_ops
+    from pcr_tpu.utils import cloud as cloud_mod
+
+    raw = cloud_mod.load_dataset("Facade", indices=[0, 1, 2, 3])
+    clouds = [
+        cloud_mod.compact(voxel_ops.voxel_downsample_cloud(c, 0.12), 16384)
+        for c in raw
+    ]
+    graph = graph_builder.full_registration(
+        clouds, voxel_size=0.1, k=2, log=None, n_scales=3, iterations=50
+    )
+    out = pg.global_optimization(graph, max_correspondence_distance=0.2)
+    nodes = np.asarray(out.nodes, np.float64)
+    # compare against the shipped absolute fixtures (ATE-level targets)
+    ref_abs = poses_io.load_reference_absolute("Facade")[:4]
+    _, ate = se3.pose_errors(nodes, ref_abs)
+    assert np.isfinite(nodes).all()
+    assert ate.max() < 0.5, ate
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
 def test_full_facade_stage2_stage3(tmp_path):
