@@ -59,6 +59,14 @@ def _build_parser() -> argparse.ArgumentParser:
     f = add_common(sub.add_parser("full", help="stages 1-3 end to end"))
     f.add_argument("--scales", type=int, default=5)
     f.add_argument("--iterations", type=int, default=100)
+    pr = add_common(sub.add_parser(
+        "pair", help="register one scan pair (for incomplete circuits, "
+                     "e.g. Courtyard which ships only s2/s4)"))
+    pr.add_argument("--src", type=int, required=True)
+    pr.add_argument("--tgt", type=int, required=True)
+    pr.add_argument("--init", default="fgr", choices=["fgr", "fixture"])
+    pr.add_argument("--scales", type=int, default=5)
+    pr.add_argument("--iterations", type=int, default=100)
     r = add_common(sub.add_parser("report", help="export trajectories + error plots"))
     r.add_argument("--methods", nargs="+",
                    default=["LUM", "SLERP", "SLERP_LUM", "pose_graph"])
@@ -129,6 +137,9 @@ def main(argv=None) -> int:
             cfg, relative_poses=rel2, clouds=clouds, n=n)
         summary["methods"] = sorted(results)
         summary["success_rate"] = metrics.success_rate(cfg.fitness_gate)
+    elif args.command == "pair":
+        out = pipeline.run_pair(cfg, args.src, args.tgt, init=args.init)
+        summary.update(out)
     elif args.command == "report":
         import numpy as np
 

@@ -43,9 +43,16 @@ def create_scales_doubling(n_scales: int) -> list[float]:
 
 
 def max_correspondence_distances(scales: list[float]) -> list[float]:
-    """Search-radius schedule of 2_...py:112-120."""
+    """Search-radius schedule of 2_...py:112-120 (exact factors for the
+    reference's n in {3, 4, 5}; linear 3 -> 1 interpolation otherwise)."""
     n = len(scales)
-    factors = {3: [3.0, 2.0, 1.0], 4: [3.0, 2.5, 2.0, 1.0], 5: [3.0, 2.5, 2.0, 1.5, 1.0]}[n]
+    table = {3: [3.0, 2.0, 1.0], 4: [3.0, 2.5, 2.0, 1.0], 5: [3.0, 2.5, 2.0, 1.5, 1.0]}
+    if n in table:
+        factors = table[n]
+    elif n == 1:
+        factors = [1.0]
+    else:
+        factors = [3.0 - 2.0 * i / (n - 1) for i in range(n)]
     return [f * s for f, s in zip(factors, scales)]
 
 

@@ -1,1 +1,1 @@
-from . import mesh, pair_sharding, distributed_pg  # noqa: F401
+from . import mesh, pair_sharding, point_sharding, distributed_pg  # noqa: F401

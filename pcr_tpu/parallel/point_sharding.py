@@ -1,0 +1,100 @@
+"""Within-pair point/block sharding over the ``points`` mesh axis.
+
+SURVEY §2.4 "Point/block sharding": for TLS-scale clouds (Courtyard 240k
+points, the speed-of-light k-NN case of SURVEY §7) a single pair saturates a
+chip, so instead of sharding pairs the REFERENCE-cloud rows are sharded across
+devices and every device scans all queries against its local slab:
+
+  * each device computes the exact nearest neighbor of every query within its
+    ref shard (the same MXU-tiled merge as ops/knn, shard-local);
+  * the (distance, global index) pairs are combined with an all-gather +
+    elementwise min — one (n_dev, Nq) reduction over ICI, no raw point
+    traffic.
+
+The result is bit-identical to the single-device ``ops.knn.nn1_exact`` (same
+exact re-scoring; ties broken toward the lowest shard offset, matching the
+scan order of the single-device merge).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import knn as knn_ops
+
+
+def sharded_nn1(mesh: Mesh, query, ref, ref_mask, *, axis: str = "points",
+                q_tile: int = 1024, r_chunk: int = 8192):
+    """Exact nearest neighbor with the reference cloud row-sharded over
+    ``axis``.  query: (Nq, D) replicated; ref/ref_mask: (Nr, D)/(Nr,) sharded.
+    Returns (sqdist (Nq,), global ref index (Nq,)) replicated.
+
+    Nr must be divisible by the mesh axis size (pad with masked rows).
+    """
+    n_dev = mesh.shape[axis]
+    nr = ref.shape[0]
+    if nr % n_dev != 0:
+        raise ValueError(f"ref rows {nr} not divisible by mesh axis {n_dev}")
+    shard_rows = nr // n_dev
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(q, r_shard, m_shard):
+        d_loc, i_loc = knn_ops.nn1_exact(
+            q, r_shard, m_shard, q_tile=q_tile, r_chunk=min(r_chunk, shard_rows)
+        )
+        offset = jax.lax.axis_index(axis).astype(jnp.int32) * shard_rows
+        i_glob = i_loc + offset
+        # combine shard-local winners: all_gather (n_dev, Nq) and take the
+        # lowest distance, ties to the lowest shard (scan order parity)
+        d_all = jax.lax.all_gather(d_loc, axis)          # (n_dev, Nq)
+        i_all = jax.lax.all_gather(i_glob, axis)
+        best = jnp.argmin(d_all, axis=0)                 # first minimum wins
+        take = functools.partial(jnp.take_along_axis, indices=best[None], axis=0)
+        return take(d_all)[0], take(i_all)[0]
+
+    return run(query, ref, ref_mask)
+
+
+def sharded_knn(mesh: Mesh, query, ref, ref_mask, k: int, *,
+                axis: str = "points", q_tile: int = 512, r_chunk: int = 4096):
+    """Exact k-NN with ref rows sharded over ``axis``: shard-local top-k, then
+    a gathered (n_dev * k)-candidate merge per query.  Matches
+    ``ops.knn.knn_exact`` output (ascending exact sqdists, global indices)."""
+    n_dev = mesh.shape[axis]
+    nr = ref.shape[0]
+    if nr % n_dev != 0:
+        raise ValueError(f"ref rows {nr} not divisible by mesh axis {n_dev}")
+    shard_rows = nr // n_dev
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(q, r_shard, m_shard):
+        d_loc, i_loc = knn_ops.knn_exact(
+            q, r_shard, m_shard, k, q_tile=q_tile,
+            r_chunk=min(r_chunk, shard_rows),
+        )
+        offset = jax.lax.axis_index(axis).astype(jnp.int32) * shard_rows
+        d_all = jax.lax.all_gather(d_loc, axis, axis=1, tiled=True)  # (Nq, n_dev*k)
+        i_all = jax.lax.all_gather(i_loc + offset, axis, axis=1, tiled=True)
+        order = jnp.argsort(d_all, axis=1)[:, :k]
+        return (
+            jnp.take_along_axis(d_all, order, axis=1),
+            jnp.take_along_axis(i_all, order, axis=1),
+        )
+
+    return run(query, ref, ref_mask)

@@ -230,6 +230,62 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
     return out
 
 
+def run_pair(cfg: PipelineConfig, src_i: int, tgt_i: int,
+             init: np.ndarray | str = "fgr",
+             metrics: PairMetrics | None = None) -> dict:
+    """Register ONE scan pair end-to-end: [FGR ->] M-GICP -> info matrix.
+
+    The single-pair workflow for datasets whose circuit is incomplete on disk
+    (Courtyard ships 2 of 8 scans — SURVEY §0).  ``init``: 'fgr' runs stage-1
+    FGR first; 'fixture' derives the seed from the shipped absolute
+    FGR_GICP fixtures (inv(A_tgt) @ A_src); or a 4x4 array.
+    Returns {"T", "fitness", "rmse", "info", "seconds", ...}.
+    """
+    metrics = metrics if metrics is not None else PairMetrics()
+    clouds = cloud_mod.load_dataset(cfg.dataset, indices=[src_i, tgt_i])
+    src_c, tgt_c = clouds[0], clouds[1]
+    out: dict = {"src": src_i, "tgt": tgt_i, "dataset": cfg.dataset}
+    t0 = time.time()
+    if isinstance(init, str) and init == "fgr":
+        res_fgr = fgr_mod.registro_fgr(src_c, tgt_c, cfg.voxel_size,
+                                       seed=cfg.fgr_seed + src_i)
+        T0 = np.asarray(res_fgr.transformation, np.float64)
+        out["fgr_fitness"] = float(res_fgr.fitness)
+        metrics.add("fgr", src_i, tgt_i, float(res_fgr.fitness),
+                    float(res_fgr.inlier_rmse), time.time() - t0)
+    elif isinstance(init, str) and init == "fixture":
+        A = poses_io.load_reference_absolute(cfg.dataset)
+        T0 = np.linalg.inv(A[tgt_i]) @ A[src_i]
+    else:
+        T0 = np.asarray(init, np.float64)
+    caps = cfg.scale_capacities
+    if caps == "auto":
+        caps = cloud_mod.plan_scale_caps(clouds, ms_mod.create_scales(cfg.mgicp_scales))
+    t1 = time.time()
+    res = ms_mod.multiscale_gicp(
+        src_c, tgt_c, jnp.asarray(T0, jnp.float32),
+        n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations,
+        scale_capacities=caps,
+    )
+    T = np.asarray(res.transformation, np.float64)
+    out.update(
+        T=T.tolist(), fitness=float(res.fitness), rmse=float(res.inlier_rmse),
+        mgicp_seconds=round(time.time() - t1, 3),
+        seconds=round(time.time() - t0, 3),
+    )
+    metrics.add("mgicp", src_i, tgt_i, float(res.fitness),
+                float(res.inlier_rmse), time.time() - t1)
+    info = eval_mod.information_matrix(
+        tgt_c, src_c, cfg.voxel_size,
+        np.asarray(se3.invert(T), np.float32),
+    )
+    out["info_trace"] = float(jnp.trace(info))
+    d = cfg.out_dir("relative_poses_FGR_GICP")
+    poses_io.save_pose(os.path.join(d, f"pose_{src_i}_{tgt_i}.txt"), T)
+    metrics.save(os.path.join(cfg.out_dir("metrics"), f"pair_{src_i}_{tgt_i}.jsonl"))
+    return out
+
+
 def run_stage3_global(cfg: PipelineConfig, relative_poses: np.ndarray | None = None,
                       clouds=None, n: int | None = None,
                       methods=("LUM", "SLERP", "SLERP_LUM", "pose_graph")) -> dict:

@@ -106,12 +106,31 @@ def load_cloud(path: str, capacity: int | None = None) -> Cloud:
     return from_numpy(data.points, capacity=capacity, colors=data.colors)
 
 
+def available_indices(dataset: str) -> list[int]:
+    """Scan indices whose PCD files actually exist (Courtyard ships only
+    s2/s4 of its 8-scan circuit — SURVEY §0)."""
+    import os
+
+    from . import poses_io
+
+    n = poses_io.CIRCUIT_SIZES[dataset]
+    return [
+        i for i in range(n)
+        if os.path.exists(poses_io.reference_cloud_path(dataset, i))
+    ]
+
+
 def load_dataset(dataset: str, indices=None, capacity: int | None = None) -> list[Cloud]:
     """Load reference dataset scans padded to the dataset bucket size.
 
     The hot path is the native threaded batch loader (pcr_tpu/native/
     pcd_io.cc): all scans are parsed in a C++ thread pool straight into the
-    padded bucket layout, overlapping file I/O across cores."""
+    padded bucket layout, overlapping file I/O across cores.
+
+    Missing scans raise a FileNotFoundError that lists what IS available
+    instead of crashing mid-parse (Courtyard ships only 2 of 8 scans)."""
+    import os
+
     from . import poses_io
     from .. import native
 
@@ -120,6 +139,13 @@ def load_dataset(dataset: str, indices=None, capacity: int | None = None) -> lis
         indices = range(n)
     cap = capacity or BUCKETS[dataset]
     paths = [poses_io.reference_cloud_path(dataset, i) for i in indices]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"{dataset}: {len(missing)} of {len(paths)} requested scans are "
+            f"not on disk (e.g. {os.path.basename(missing[0])}); available "
+            f"indices: {available_indices(dataset)} — pass indices=[...]"
+        )
     if native.available():
         try:
             pts, mask, cols, _ = native.read_pcd_batch_padded(paths, cap, PAD_COORD)

@@ -73,3 +73,40 @@ def test_distributed_global_optimization_closes_loop(rng):
     r = np.linalg.inv(T) @ np.linalg.inv(after[0]) @ after[-1]
     r0 = np.linalg.inv(T) @ np.linalg.inv(np.asarray(graph.nodes[0])) @ np.asarray(graph.nodes[-1])
     assert np.linalg.norm(r[:3, 3]) < np.linalg.norm(r0[:3, 3]) * 0.2
+
+
+def test_sharded_nn1_matches_single(rng):
+    """Point sharding: ref rows split over the 'points' axis; result must be
+    bit-identical to the single-device exact merge."""
+    from pcr_tpu.ops import knn as knn_ops
+    from pcr_tpu.parallel import point_sharding
+
+    q = rng.uniform(-5, 5, size=(2048, 3)).astype(np.float32)
+    r = rng.uniform(-5, 5, size=(4096, 3)).astype(np.float32)
+    m = np.ones(4096, dtype=bool)
+    m[4000:] = False
+    mesh = mesh_mod.make_point_mesh(8)
+    d_s, i_s = point_sharding.sharded_nn1(
+        mesh, jnp.asarray(q), jnp.asarray(r), jnp.asarray(m)
+    )
+    d_1, i_1 = knn_ops.nn1_exact(jnp.asarray(q), jnp.asarray(r), jnp.asarray(m))
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_1))
+
+
+def test_sharded_knn_matches_single(rng):
+    from pcr_tpu.ops import knn as knn_ops
+    from pcr_tpu.parallel import point_sharding
+
+    q = rng.uniform(-5, 5, size=(512, 3)).astype(np.float32)
+    r = rng.uniform(-5, 5, size=(2048, 3)).astype(np.float32)
+    m = np.ones(2048, dtype=bool)
+    mesh = mesh_mod.make_point_mesh(8)
+    d_s, i_s = point_sharding.sharded_knn(
+        mesh, jnp.asarray(q), jnp.asarray(r), jnp.asarray(m), k=8
+    )
+    d_1, i_1 = knn_ops.knn_exact(jnp.asarray(q), jnp.asarray(r), jnp.asarray(m), 8)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_1), rtol=1e-6, atol=1e-7)
+    # indices may differ only on exact-distance ties; require distance equality
+    same = np.asarray(i_s) == np.asarray(i_1)
+    assert same.mean() > 0.999
