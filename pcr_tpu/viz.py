@@ -86,6 +86,103 @@ def export_trajectory(path, poses: np.ndarray, closed: bool = True) -> str:
     return write_ply(path, t, edges=np.asarray(edges))
 
 
+# ---------------------------------------------------------------------------
+# Animated reconstruction (SURVEY P16, ALL_FUNCTIONS.py:674-789) — headless:
+# pose-interpolated frame sequences exported as PLY-per-frame and/or GIF.
+# ---------------------------------------------------------------------------
+
+def _subsample(pts, cap, rng):
+    if len(pts) > cap:
+        return pts[rng.choice(len(pts), cap, replace=False)]
+    return pts
+
+
+def animate_pair(out_dir, source: Cloud, target: Cloud, T, n_frames: int = 30,
+                 max_points: int = 20000, seed: int = 0) -> list[str]:
+    """Registration animation for one pair (``animacao_registro_par``,
+    ALL_FUNCTIONS.py:674-697): the source slides from identity to its
+    registered pose T over n_frames; the target stays fixed.  Writes
+    frame_000.ply ... frame_{n-1}.ply (source red, target gray)."""
+    rng = np.random.default_rng(seed)
+    src = _subsample(np.asarray(source.points)[np.asarray(source.mask)], max_points, rng)
+    tgt = _subsample(np.asarray(target.points)[np.asarray(target.mask)], max_points, rng)
+    T = np.asarray(T, np.float64)
+    eye = np.eye(4)
+    paths = []
+    for f in range(n_frames):
+        t = f / max(n_frames - 1, 1)
+        Tf = np.asarray(se3.interpolate(eye, T, t))
+        pts = np.concatenate([src @ Tf[:3, :3].T + Tf[:3, 3], tgt])
+        cols = np.concatenate([
+            np.tile([0.85, 0.2, 0.2], (len(src), 1)),
+            np.tile([0.6, 0.6, 0.6], (len(tgt), 1)),
+        ])
+        paths.append(write_ply(
+            os.path.join(out_dir, f"frame_{f:03d}.ply"), pts, cols))
+    return paths
+
+
+def animate_reconstruction(out_dir, clouds: list[Cloud], poses,
+                           frames_per_cloud: int = 8, max_points: int = 5000,
+                           seed: int = 0, gif: bool = True,
+                           ply_frames: bool = False) -> list[str]:
+    """Animated circuit reconstruction (``animacao_reconstrucao_*``,
+    ALL_FUNCTIONS.py:740-789): clouds join the scene one at a time, each
+    interpolating from identity to its absolute pose while earlier clouds
+    stay registered.  Exports an XY-view GIF (and optionally PLY frames)."""
+    rng = np.random.default_rng(seed)
+    poses = np.asarray(poses, np.float64)
+    pts_list = [
+        _subsample(np.asarray(c.points)[np.asarray(c.mask)], max_points, rng)
+        for c in clouds
+    ]
+    colors = [rng.uniform(0.15, 0.95, size=3) for _ in clouds]
+    eye = np.eye(4)
+    frames = []  # (points, colors) per frame
+    placed_pts, placed_cols = [], []
+    for i, (pts, T) in enumerate(zip(pts_list, poses)):
+        for f in range(frames_per_cloud):
+            t = (f + 1) / frames_per_cloud
+            Tf = np.asarray(se3.interpolate(eye, T, t))
+            moving = pts @ Tf[:3, :3].T + Tf[:3, 3]
+            frame_pts = placed_pts + [moving]
+            frame_cols = placed_cols + [np.tile(colors[i], (len(moving), 1))]
+            frames.append((np.concatenate(frame_pts), np.concatenate(frame_cols)))
+        placed_pts.append(pts @ poses[i][:3, :3].T + poses[i][:3, 3])
+        placed_cols.append(np.tile(colors[i], (len(pts), 1)))
+    paths = []
+    if ply_frames:
+        for f, (p, c) in enumerate(frames):
+            paths.append(write_ply(os.path.join(out_dir, f"frame_{f:03d}.ply"), p, c))
+    if gif:
+        paths.append(_frames_to_gif(
+            os.path.join(out_dir, "reconstruction.gif"), frames))
+    return paths
+
+
+def _frames_to_gif(path, frames, fps: int = 10) -> str:
+    """Render (points, colors) frames as an XY-scatter GIF via matplotlib."""
+    plt = _plt()
+    from matplotlib.animation import PillowWriter
+
+    all_pts = np.concatenate([p for p, _ in frames])
+    lo, hi = all_pts[:, :2].min(axis=0), all_pts[:, :2].max(axis=0)
+    pad = 0.05 * (hi - lo + 1e-6)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    writer = PillowWriter(fps=fps)
+    with writer.saving(fig, _ensure_dir(path), dpi=80):
+        for pts, cols in frames:
+            ax.clear()
+            ax.scatter(pts[:, 0], pts[:, 1], s=0.5, c=np.clip(cols, 0, 1))
+            ax.set_xlim(lo[0] - pad[0], hi[0] + pad[0])
+            ax.set_ylim(lo[1] - pad[1], hi[1] + pad[1])
+            ax.set_aspect("equal")
+            ax.set_xticks([]); ax.set_yticks([])
+            writer.grab_frame()
+    plt.close(fig)
+    return path
+
+
 def _plt():
     import matplotlib
 

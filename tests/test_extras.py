@@ -1,5 +1,7 @@
 """Tests for parity extras: Umeyama, eigen features, sampling, viz artifacts."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -100,3 +102,32 @@ def test_flatten_to_xy(rng):
     flat = np.asarray(manual.flatten_to_xy(pts))
     assert (flat[:, 2] == 0).all()
     np.testing.assert_allclose(flat[:, :2], np.asarray(pts)[:, :2])
+
+
+def test_animation_exports(tmp_path, rng):
+    """P16 animation parity: pose-interpolated frame sequences (PLY + GIF)."""
+    from pcr_tpu import viz
+    from pcr_tpu.utils import cloud as cloud_mod, se3
+    import jax.numpy as jnp
+
+    pts = rng.uniform(-1, 1, size=(300, 3)).astype(np.float32)
+    c0 = cloud_mod.from_numpy(pts, capacity=512)
+    T = np.eye(4)
+    T[:3, 3] = [0.5, 0.2, 0.0]
+    c1 = cloud_mod.from_numpy((pts + T[:3, 3]).astype(np.float32), capacity=512)
+
+    frames = viz.animate_pair(str(tmp_path / "pair"), c1, c0, np.linalg.inv(T),
+                              n_frames=5, max_points=200)
+    assert len(frames) == 5 and all(os.path.exists(p) for p in frames)
+    # first frame: source at identity; last frame: source registered
+    first = np.loadtxt(frames[0], skiprows=10, usecols=(0, 1, 2), max_rows=200)
+    last = np.loadtxt(frames[-1], skiprows=10, usecols=(0, 1, 2), max_rows=200)
+    assert np.abs(first.mean(axis=0) - last.mean(axis=0) - T[:3, 3]).max() < 0.1
+
+    poses = np.stack([np.eye(4), T])
+    arts = viz.animate_reconstruction(
+        str(tmp_path / "rec"), [c0, c1], poses, frames_per_cloud=3,
+        max_points=100, gif=True, ply_frames=True)
+    gifs = [p for p in arts if p.endswith(".gif")]
+    assert len(gifs) == 1 and os.path.getsize(gifs[0]) > 1000
+    assert sum(p.endswith(".ply") for p in arts) == 6
