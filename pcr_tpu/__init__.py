@@ -10,6 +10,14 @@ pose-graph solves.
 Importable alias: ``point_cloud_registration_with_global_refinement_tpu``.
 """
 
+import os as _os
+
+# Persistent XLA compile cache: the big fixed-shape kernels (245k-point FPFH /
+# kNN at Courtyard scale) take minutes to compile on first use; cache them
+# across CLI/pipeline invocations.  Respect the caller's setting if present.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pcr_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 import jax as _jax
 
 # Geometry workloads need true-f32 matmuls: the default TPU policy lowers f32
