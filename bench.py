@@ -167,6 +167,10 @@ def main():
 
     fgr_pairs_per_sec = bench_fgr(jax, jnp, np, clouds, min(N_PAIRS, 8))
 
+    per_scale = (
+        bench_per_scale(jax, jnp, np, clouds, scale_caps, init) if PER_SCALE else None
+    )
+
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks", "baseline_cpu.json"
     )
@@ -190,6 +194,7 @@ def main():
                     "nclt_fgr_pairs_per_sec": round(fgr_pairs_per_sec, 3),
                     "platform": jax.devices()[0].platform,
                     "device": str(jax.devices()[0]),
+                    **({"per_scale": per_scale} if per_scale else {}),
                 },
             }
         )

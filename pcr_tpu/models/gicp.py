@@ -424,3 +424,54 @@ def _unit_normals(c: Cloud) -> jnp.ndarray:
         raise ValueError("GICP needs normals or covariances on both clouds")
     _, V = eigen3.eigh3(c.covariances)
     return V[..., :, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("loss", "max_iteration", "corr_method")
+)
+def gicp_loss_log(
+    source: Cloud,
+    target: Cloud,
+    max_corr_dist,
+    T_init,
+    loss: str = "l1",
+    gm_k: float = 1.0,
+    max_iteration: int = 100,
+    corr_method: str = "grid",
+):
+    """Diagnostic GICP run with a per-iteration loss log.
+
+    The reference plots Open3D's ``loss_log`` (``plot_rmse_vs_iteracoes`` /
+    ``plot_RMSE_vs_iteracoes_por_escala``, ALL_FUNCTIONS.py:843-866), which
+    requires running ICP with log_loss=True.  Here the full iteration budget
+    runs under ``lax.scan`` (fixed trip count — no early exit, so the log has
+    static shape) and returns ``(RegistrationResult, log)`` with
+    ``log = {"fitness": (I,), "inlier_rmse": (I,)}``.
+
+    Not the hot path: use ``registration_gicp`` for production registration.
+    """
+    max_dist = jnp.float32(max_corr_dist)
+    T0 = jnp.asarray(T_init, jnp.float32)
+    src_cov = regularize_covariances(source.covariances)
+    tgt_cov = regularize_covariances(target.covariances)
+    accel = (
+        grid_nn.build_grid(target.points, target.mask, max_dist)
+        if corr_method == "grid" else None
+    )
+
+    def step(T, _):
+        T_new, fit, rmse, n_corr = gicp_step(
+            source.points, src_cov, source.mask,
+            target.points, tgt_cov, target.mask,
+            T, max_dist, loss=loss, gm_k=gm_k, accel=accel,
+        )
+        return T_new, (fit, rmse)
+
+    T, (fit_log, rmse_log) = jax.lax.scan(step, T0, None, length=max_iteration)
+    _, _, valid, d2 = _correspond(
+        source.points, source.mask, target.points, target.mask, T, max_dist,
+        accel,
+    )
+    fitness, rmse, n_corr = _metrics(valid, d2, source.mask)
+    res = RegistrationResult(T, fitness, rmse, n_corr, jnp.int32(max_iteration))
+    return res, {"fitness": fit_log, "inlier_rmse": rmse_log}

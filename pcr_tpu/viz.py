@@ -255,3 +255,89 @@ def report_circuit(out_dir: str, clouds, results: dict[str, np.ndarray],
             errs[name] = np.asarray(dt)
         paths.append(plot_pose_errors(os.path.join(out_dir, "pose_errors.png"), errs))
     return paths
+
+
+def plot_rmse_vs_iterations(path, loss_log, per_scale: bool = False) -> str:
+    """Inlier-RMSE-vs-iteration curves from ``models.gicp.gicp_loss_log``.
+
+    ``loss_log``: one log dict, or a list of per-scale log dicts with
+    ``per_scale=True`` — matching the reference's ``plot_rmse_vs_iteracoes``
+    (ALL_FUNCTIONS.py:843-848) and ``plot_RMSE_vs_iteracoes_por_escala``
+    (ALL_FUNCTIONS.py:853-866)."""
+    plt = _plt()
+    logs = list(loss_log) if per_scale else [loss_log]
+    fig, axes = plt.subplots(nrows=1, ncols=len(logs), figsize=(4 * len(logs), 4),
+                             squeeze=False)
+    for s, log in enumerate(logs):
+        ax = axes[0][s]
+        rmse = np.asarray(log["inlier_rmse"])
+        ax.plot(np.arange(len(rmse)), rmse)
+        ax.set_title(("Scale Index: %d " % s if per_scale else "")
+                     + "Inlier RMSE vs Iteration", fontsize=9)
+        ax.set_xlabel("Iteration")
+        ax.grid(True)
+    fig.savefig(_ensure_dir(path), dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_pair_metric_bars(path, series: dict[str, np.ndarray], ylabel: str) -> str:
+    """Grouped per-pair bars, one group color per algorithm (the reference's
+    ``plot_RMSE_BAR`` / ``plot_fitness_BAR``, ALL_FUNCTIONS.py:897-920)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(12, 5))
+    n = len(next(iter(series.values())))
+    labels = [f"{i}-{i + 1}" for i in range(n - 1)] + [f"{n - 1}-0"]
+    width = 0.8 / max(len(series), 1)
+    for m, (name, values) in enumerate(series.items()):
+        x = np.arange(n) + (m - (len(series) - 1) / 2) * width
+        ax.bar(x, np.asarray(values), width=width, label=name)
+    step = max(n // 20, 1)
+    ax.set_xticks(range(0, n, step), labels[::step], rotation=45, fontsize=7)
+    ax.set_xlabel("Pairs")
+    ax.set_ylabel(ylabel)
+    ax.legend()
+    fig.savefig(_ensure_dir(path), dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_nn_distance_boxplot(path, clouds: dict[str, "Cloud"]) -> str:
+    """Per-cloud nearest-neighbor-distance boxplots for density analysis
+    (the reference's ``plot_cloud_knn_distances``, ALL_FUNCTIONS.py:1076-1087,
+    built on ``compute_nearest_neighbor_distance``)."""
+    from .ops import knn as knn_ops
+
+    plt = _plt()
+    names, dists = [], []
+    for name, c in clouds.items():
+        d2, _ = knn_ops.knn(c.points, c.points, c.mask, 1, exclude_self=True)
+        d2 = np.asarray(d2)[..., 0][np.asarray(c.mask)]
+        dists.append(np.sqrt(np.clip(d2, 0, None)))
+        names.append(name)
+    fig, ax = plt.subplots(figsize=(8, 1.5 + len(names)))
+    ax.boxplot(dists, vert=False, tick_labels=names)
+    ax.set_xlabel("Knn distances")
+    fig.savefig(_ensure_dir(path), dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def export_correspondences(path, source: "Cloud", target: "Cloud", T,
+                           corr: np.ndarray, n: int = 100, seed: int = 0) -> str:
+    """Headless ``draw_correspondences`` (ALL_FUNCTIONS.py:1062-1071): sample
+    ``n`` correspondences (rows of ``corr`` = (src_idx, tgt_idx)) and export
+    the transformed source + target points with connecting edges as PLY."""
+    corr = np.asarray(corr)
+    rng = np.random.default_rng(seed)
+    if len(corr) > n:
+        corr = corr[rng.integers(len(corr), size=n)]
+    T = np.asarray(T)
+    src = np.asarray(source.points)[corr[:, 0]] @ T[:3, :3].T + T[:3, 3]
+    tgt = np.asarray(target.points)[corr[:, 1]]
+    pts = np.concatenate([src, tgt])
+    m = len(corr)
+    edges = np.stack([np.arange(m), np.arange(m) + m], axis=1)
+    colors = np.concatenate([np.tile([1.0, 0.706, 0.0], (m, 1)),
+                             np.tile([0.0, 0.651, 0.929], (m, 1))])
+    return write_ply(path, pts, colors=colors, edges=edges)

@@ -131,3 +131,57 @@ def test_animation_exports(tmp_path, rng):
     gifs = [p for p in arts if p.endswith(".gif")]
     assert len(gifs) == 1 and os.path.getsize(gifs[0]) > 1000
     assert sum(p.endswith(".ply") for p in arts) == 6
+
+
+def test_viz_p17_parity(tmp_path, rng):
+    """Round-2 P17/N13 additions: NN-distance boxplot, grouped RMSE bars,
+    RMSE-vs-iteration curves, correspondence-line export."""
+    from pcr_tpu import viz
+    from pcr_tpu.utils import cloud as cloud_mod
+
+    c1 = cloud_mod.from_numpy(rng.normal(size=(60, 3)).astype(np.float32), capacity=64)
+    c2 = cloud_mod.from_numpy(
+        (rng.normal(size=(50, 3)) * 2).astype(np.float32), capacity=64)
+    p = viz.plot_nn_distance_boxplot(
+        str(tmp_path / "nn_box.png"),
+        {"Voxel downsampling": c1, "Hybrid downsampling": c2})
+    assert (tmp_path / "nn_box.png").stat().st_size > 1000
+
+    p = viz.plot_pair_metric_bars(
+        str(tmp_path / "rmse_bar.png"),
+        {"FGR": rng.uniform(size=7), "FGR+GICP": rng.uniform(size=7)}, "RMSE")
+    assert (tmp_path / "rmse_bar.png").stat().st_size > 1000
+
+    log = {"inlier_rmse": rng.uniform(size=20), "fitness": rng.uniform(size=20)}
+    viz.plot_rmse_vs_iterations(str(tmp_path / "rmse_it.png"), log)
+    viz.plot_rmse_vs_iterations(
+        str(tmp_path / "rmse_it_scales.png"), [log, log, log], per_scale=True)
+    assert (tmp_path / "rmse_it_scales.png").stat().st_size > 1000
+
+    corr = np.stack([np.arange(40), np.arange(40)], axis=1)
+    T = np.eye(4); T[:3, 3] = [0.5, 0, 0]
+    p = viz.export_correspondences(
+        str(tmp_path / "corr.ply"), c1, c1, T, corr, n=25)
+    txt = open(p).read()
+    assert "element vertex 50" in txt and "element edge 25" in txt
+
+
+def test_gicp_loss_log(rng):
+    """Per-iteration loss log (Open3D log_loss=True analogue): RMSE must be
+    non-increasing to convergence on a perturbed self-registration."""
+    import jax.numpy as jnp
+
+    from pcr_tpu.models import gicp
+    from pcr_tpu.ops import normals as nops
+    from pcr_tpu.utils import cloud as cloud_mod
+
+    pts = rng.normal(size=(400, 3)).astype(np.float32)
+    c = cloud_mod.from_numpy(pts, capacity=512)
+    c = nops.with_normals_knn(c, 10)
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, 3] = [0.05, -0.03, 0.02]
+    res, log = gicp.gicp_loss_log(c, c, 0.3, T0, max_iteration=12)
+    rmse = np.asarray(log["inlier_rmse"])
+    assert rmse.shape == (12,)
+    assert rmse[-1] < 1e-3 and rmse[0] > rmse[-1]
+    assert float(res.fitness) > 0.99
