@@ -38,9 +38,13 @@ def bench_per_scale(jax, jnp, np, clouds, scale_caps, init):
     from pcr_tpu.models import gicp as gicp_mod, multiscale as ms_mod
 
     out = {}
+    # Salt discipline (see module docstring): perturb inputs so no timed call
+    # repeats the exact (executable, args) of a warmup call.
+    c0 = clouds[0].with_(points=clouds[0].points + 1e-6)
+    c1 = clouds[1].with_(points=clouds[1].points + 1e-6)
     t0 = _t.time()
-    pyr0 = jax.block_until_ready(ms_mod.build_pyramid(clouds[0], 5, scale_capacities=scale_caps))
-    pyr1 = jax.block_until_ready(ms_mod.build_pyramid(clouds[1], 5, scale_capacities=scale_caps))
+    pyr0 = jax.block_until_ready(ms_mod.build_pyramid(c0, 5, scale_capacities=scale_caps))
+    pyr1 = jax.block_until_ready(ms_mod.build_pyramid(c1, 5, scale_capacities=scale_caps))
     out["pyramid_build_s_per_cloud"] = round((_t.time() - t0) / 2, 4)
     scales = ms_mod.create_scales(5)
     dists = ms_mod.max_correspondence_distances(scales)
@@ -48,7 +52,7 @@ def bench_per_scale(jax, jnp, np, clouds, scale_caps, init):
     for s in range(5):
         r = gicp_mod.registration_gicp(pyr1[s], pyr0[s], jnp.float32(dists[s]), T, loss="l1", max_iteration=100)
         jax.block_until_ready(r.transformation)  # compile
-    T = jnp.asarray(init[0])
+    T = jnp.asarray(init[0]).at[:3, 3].add(1e-6)
     for s in range(5):
         t0 = _t.time()
         r = gicp_mod.registration_gicp(pyr1[s], pyr0[s], jnp.float32(dists[s]), T, loss="l1", max_iteration=100)
@@ -66,22 +70,26 @@ def bench_fgr(jax, jnp, np, clouds, n_pairs):
 
     feats = {}
 
-    def run():
+    def run(salt):
+        # Salted: a global translation of every scan leaves the registration
+        # problem identical but defeats any repeated-(executable, args)
+        # shortcut between the warmup and timed runs.
         outs = []
         for k in range(n_pairs):
             for i in (k, k + 1):
                 if i not in feats:
-                    feats[i] = fgr_mod.fgr_features(clouds[i], 0.1)
+                    ci = clouds[i].with_(points=clouds[i].points + salt)
+                    feats[i] = fgr_mod.fgr_features(ci, 0.1)
             opts = fgr_mod.default_options(clouds[k + 1], clouds[k], 0.1)
             outs.append(fgr_mod.registration_fgr(
                 feats[k + 1][0], feats[k][0], feats[k + 1][1], feats[k][1],
                 opts, seed=k + 1).transformation)
         return jax.block_until_ready(outs)
 
-    run()          # compile + feature build
+    run(0.0)       # compile + feature build
     feats.clear()  # steady state: features recomputed, shared across pairs
     t0 = time.time()
-    run()
+    run(1e-5)
     return n_pairs / (time.time() - t0)
 
 
@@ -117,7 +125,11 @@ def main():
     ).astype(np.float32)
 
 
-    def run_all():
+    def run_all(salt=0.0):
+        # ``salt`` nudges the initial poses so the timed run never re-issues
+        # the exact (executable, args) of the warmup run: the remote-TPU
+        # tunnel can serve repeated identical calls from a cache, which
+        # silently turns a throughput benchmark into an RPC benchmark.
         outs = []
         if BATCH == 1:
             # Streamed pyramid path: per-cloud preprocessing shared between
@@ -133,7 +145,8 @@ def main():
 
             for k in range(N_PAIRS):
                 res = ms_mod.multiscale_gicp_pyramids(
-                    pyramid(k + 1), pyramid(k), jnp.asarray(init[k]),
+                    pyramid(k + 1), pyramid(k),
+                    jnp.asarray(init[k]).at[:3, 3].add(salt),
                     n_scales=5, iterations=100,
                 )
                 outs.append(res.transformation)
@@ -144,7 +157,7 @@ def main():
             idx = range(start, min(start + BATCH, N_PAIRS))
             src = cloud.stack_clouds([clouds[i + 1] for i in idx])
             tgt = cloud.stack_clouds([clouds[i] for i in idx])
-            T0 = jnp.asarray(init[list(idx)])
+            T0 = jnp.asarray(init[list(idx)]).at[:, :3, 3].add(salt)
             res = pair_sharding.batched_mgicp(
                 src, tgt, T0, n_scales=5, iterations=100, scale_capacities=scale_caps
             )
@@ -161,7 +174,7 @@ def main():
     )
     with prof:
         t0 = time.time()
-        run_all()
+        run_all(salt=1e-5)
         elapsed = time.time() - t0
     pairs_per_sec = N_PAIRS / elapsed
 

@@ -85,7 +85,11 @@ def fpfh(
     """
     assert max_nn % nb_chunk == 0
     n = points.shape[0]
-    d2, idx = knn_ops.knn(points, points, mask, max_nn, exclude_self=True)
+    # rescore=False: SPFH/FPFH weights are 1/d^2 over ~200 neighbors — the
+    # matmul-metric's ~1e-3 m^2 cancellation error is noise there, and the
+    # exact-rescore gather costs ~0.2 s per 32k cloud (see knn_approx).
+    d2, idx = knn_ops.knn(points, points, mask, max_nn, exclude_self=True,
+                          rescore=False)
     valid = (d2 <= jnp.float32(radius) ** 2) & mask[:, None] & (d2 < knn_ops.BIG)
 
     w = valid.astype(jnp.float32)

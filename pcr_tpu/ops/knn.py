@@ -80,11 +80,14 @@ def knn(query, ref, ref_mask, k, *, exclude_self=False, method="auto", **kw):
     if method == "approx":
         kw.pop("r_chunk", None)
         return knn_approx(query, ref, ref_mask, k, exclude_self=exclude_self, **kw)
+    # knn_exact is already exact: the approx-only tuning knobs are no-ops.
+    kw.pop("recall", None)
+    kw.pop("rescore", None)
     return knn_exact(query, ref, ref_mask, k, exclude_self=exclude_self, **kw)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "exclude_self", "q_tile", "recall")
+    jax.jit, static_argnames=("k", "exclude_self", "q_tile", "recall", "rescore")
 )
 def knn_approx(
     query: jnp.ndarray,
@@ -94,13 +97,28 @@ def knn_approx(
     *,
     exclude_self: bool = False,
     q_tile: int = 2048,
-    recall: float = 0.99,
+    recall: float = 0.95,
+    rescore: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN via the TPU-native approx_min_k PartialReduce over full distance
-    rows, followed by exact re-scoring of the selected candidates.
+    rows, followed (by default) by exact re-scoring of the selected candidates.
 
     Output contract matches ``knn_exact``: (sqdists ascending, indices), with
     missing/invalid entries at >= BIG.
+
+    ``recall`` — PartialReduce per-neighbor recall target.  Its cost is wildly
+    nonlinear in the last percent: at k=200 over a 32k cloud the selection
+    costs 1.09 s at 0.99 but 0.12 s at 0.95 and 0.07 s at 0.90 (measured on
+    v5e; the reduction width approx_min_k needs blows up as recall→1).  0.95
+    is the default: for geometry kernels a ~5% miss rate on individual
+    neighbors perturbs aggregate statistics (normal covariances, FPFH
+    histograms, outlier means) far below their own noise floor.
+
+    ``rescore=False`` skips the exact-rescore gather (~0.2 s at k=200/32k) and
+    returns the matmul-metric distances, clamped to >= 0.  Those carry a
+    cancellation error of ~1e-3 m^2 at LiDAR coordinate scales — fine for
+    radius gates and 1/d^2 weights; use the default when exact distances or a
+    strict ascending order contract matter.
     """
     nq, nr = query.shape[0], ref.shape[0]
     nq_pad = -(-nq // q_tile) * q_tile
@@ -118,6 +136,15 @@ def knn_approx(
         cross = jnp.dot(q, rp.T, preferred_element_type=jnp.float32)
         d2 = qn + rn[None, :] - 2.0 * cross
         dd, ii = jax.lax.approx_min_k(d2, k_search, recall_target=recall)
+        ii = ii.astype(jnp.int32)
+        if not rescore:
+            dd = jnp.where(dd >= SENTINEL_D2, BIG, jnp.maximum(dd, 0.0))
+            if exclude_self:
+                # Push the self hit (if found) to the end, keep k of k+1.
+                dd = jnp.where(ii == qidx[:, None], BIG, dd)
+                neg, pos = jax.lax.top_k(-dd, k)
+                return -neg, jnp.take_along_axis(ii, pos, axis=1)
+            return dd, ii
         # exact re-score of candidates
         cand = rp[ii]
         d_exact = exact_sqdist(q[:, None, :], cand)
@@ -127,7 +154,7 @@ def knn_approx(
         order = jnp.argsort(d_exact, axis=1)[:, :k]
         return (
             jnp.take_along_axis(d_exact, order, axis=1),
-            jnp.take_along_axis(ii.astype(jnp.int32), order, axis=1),
+            jnp.take_along_axis(ii, order, axis=1),
         )
 
     d, i = jax.lax.map(per_tile, (q_tiles, qidx_tiles))

@@ -46,7 +46,8 @@ def _neighbor_moments(points, idx, valid):
 def estimate_normals_knn(points, mask, k: int = 20):
     """KNN normals+covariances. Neighborhood includes the query point itself
     (Open3D's KNN search returns the query as its own first neighbor)."""
-    _, idx = knn_ops.knn(points, points, mask, k)
+    # rescore=False: d2 is recomputed exactly from the gathered coordinates.
+    _, idx = knn_ops.knn(points, points, mask, k, rescore=False)
     d2 = knn_ops.exact_sqdist(points[:, None, :], points[idx])
     valid = (d2 < knn_ops.BIG) & mask[:, None]
     return _finish_normals(points, mask, idx, valid)
@@ -55,7 +56,9 @@ def estimate_normals_knn(points, mask, k: int = 20):
 @functools.partial(jax.jit, static_argnames=("k",))
 def estimate_normals_hybrid(points, mask, radius, k: int = 20):
     """Hybrid(radius, max_nn) normals, as in registro_FGR (1_...py:44-46)."""
-    d2, idx = knn_ops.knn(points, points, mask, k)
+    # rescore=False: the radius gate tolerates the matmul-metric's ~1e-3 m^2
+    # error (radius^2 is O(1e-2..1e2) at the reference's scales).
+    d2, idx = knn_ops.knn(points, points, mask, k, rescore=False)
     valid = (d2 <= jnp.float32(radius) ** 2) & mask[:, None]
     return _finish_normals(points, mask, idx, valid)
 
@@ -75,7 +78,7 @@ def _finish_normals(points, mask, idx, valid):
 def estimate_covariances(points, mask, k: int = 30):
     """Open3D ``estimate_covariances`` default: KNN(30) neighbor covariance
     (ALL_FUNCTIONS.py:216-217)."""
-    _, idx = knn_ops.knn(points, points, mask, k)
+    _, idx = knn_ops.knn(points, points, mask, k, rescore=False)
     d2 = knn_ops.exact_sqdist(points[:, None, :], points[idx])
     valid = (d2 < knn_ops.BIG) & mask[:, None]
     _, cov = _neighbor_moments(points, idx, valid)

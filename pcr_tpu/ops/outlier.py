@@ -24,7 +24,10 @@ def statistical_outlier_mask(
     points: jnp.ndarray, mask: jnp.ndarray, nb_neighbors: int = 30, std_ratio: float = 1.0
 ) -> jnp.ndarray:
     """Returns the filtered validity mask (True = keep)."""
-    d2, _ = knn_ops.knn(points, points, mask, nb_neighbors, exclude_self=True)
+    # rescore=False: the matmul-metric error (~1e-3 m^2) moves mean neighbor
+    # distances by well under the mu + std_ratio*sigma threshold's own slack.
+    d2, _ = knn_ops.knn(points, points, mask, nb_neighbors, exclude_self=True,
+                        rescore=False)
     d = jnp.sqrt(jnp.maximum(d2, 0.0))
     neighbor_valid = d2 < knn_ops.BIG
     counts = jnp.sum(neighbor_valid, axis=1)

@@ -41,6 +41,32 @@ def test_knn_exclude_self(rng):
     np.testing.assert_allclose(np.asarray(d2)[:200], od2, rtol=1e-4, atol=1e-5)
 
 
+def test_knn_approx_norescore_matches_exact(rng):
+    """knn_approx(rescore=False) returns the same neighbor sets as the exact
+    path (on CPU approx_min_k is exact), with matmul-metric distances within
+    the documented ~1e-3 cancellation tolerance, and never returns self."""
+    pts, c = make_points(rng, 300, cap=512, scale=100.0)
+    d2a, idxa = knn.knn_approx(c.points, c.points, c.mask, 8,
+                               exclude_self=True, q_tile=128, rescore=False)
+    d2e, idxe = knn.knn_exact(c.points, c.points, c.mask, 8,
+                              exclude_self=True, q_tile=128, r_chunk=256)
+    d2a, idxa = np.asarray(d2a)[:300], np.asarray(idxa)[:300]
+    assert not np.any(idxa == np.arange(300)[:, None])
+    assert (d2a >= 0.0).all()
+    np.testing.assert_allclose(d2a, np.asarray(d2e)[:300], rtol=1e-3, atol=5e-2)
+    # same neighbor sets (order within ties may differ)
+    assert np.array_equal(np.sort(idxa, axis=1), np.sort(np.asarray(idxe)[:300], axis=1))
+
+
+def test_knn_approx_norescore_pads_invalid(rng):
+    pts = rng.normal(size=(5, 3)).astype(np.float32)
+    c = cloud.from_numpy(pts, capacity=64)
+    d2, idx = knn.knn_approx(c.points, c.points, c.mask, 8, q_tile=64, rescore=False)
+    d2 = np.asarray(d2)[:5]
+    assert (d2[:, :5] < knn.BIG).all()
+    assert (d2[:, 5:] >= knn.BIG).all()
+
+
 def test_knn_respects_mask(rng):
     pts = rng.normal(size=(100, 3)).astype(np.float32)
     c = cloud.from_numpy(pts, capacity=256)  # 156 padded invalid points
