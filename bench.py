@@ -42,6 +42,10 @@ def bench_per_scale(jax, jnp, np, clouds, scale_caps, init):
     # repeats the exact (executable, args) of a warmup call.
     c0 = clouds[0].with_(points=clouds[0].points + 1e-6)
     c1 = clouds[1].with_(points=clouds[1].points + 1e-6)
+    # Warm the per-scale path's host-side dispatch chain (build_pyramid is a
+    # multi-dispatch host loop; its first salted call pays tunnel latencies).
+    jax.block_until_ready(ms_mod.build_pyramid(
+        clouds[0].with_(points=clouds[0].points + 2e-6), 5, scale_capacities=scale_caps))
     t0 = _t.time()
     pyr0 = jax.block_until_ready(ms_mod.build_pyramid(c0, 5, scale_capacities=scale_caps))
     pyr1 = jax.block_until_ready(ms_mod.build_pyramid(c1, 5, scale_capacities=scale_caps))
