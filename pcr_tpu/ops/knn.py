@@ -110,9 +110,12 @@ def knn_approx(
     nonlinear in the last percent: at k=200 over a 32k cloud the selection
     costs 1.09 s at 0.99 but 0.12 s at 0.95 and 0.07 s at 0.90 (measured on
     v5e; the reduction width approx_min_k needs blows up as recall→1).  0.95
-    is the default: for geometry kernels a ~5% miss rate on individual
-    neighbors perturbs aggregate statistics (normal covariances, FPFH
-    histograms, outlier means) far below their own noise floor.
+    is the default.  NOTE the target is calibrated for uniform data — on real
+    clustered LiDAR the measured true recall at target 0.95 is ~0.88
+    (k=200, NCLT scan).  That miss rate still perturbs aggregate statistics
+    (normal covariances, FPFH histograms, outlier means) far below their own
+    noise floor: FPFH median relative error vs exact kNN is 0.09% and the
+    NCLT FGR golden pair is unchanged (validated end-to-end).
 
     ``rescore=False`` skips the exact-rescore gather (~0.2 s at k=200/32k) and
     returns the matmul-metric distances, clamped to >= 0.  Those carry a
