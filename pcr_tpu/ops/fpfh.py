@@ -69,7 +69,7 @@ def _hist_accumulate(f, lo, hi, weights):
     return jnp.einsum("nk,nkb->nb", weights, onehot)
 
 
-def _weighted_spfh_matmul(points, mask, spfh, tau, q_tile: int = 2048):
+def _weighted_spfh_matmul(points, mask, spfh, tau, q_tile: int | None = None):
     """FPFH pass 2 as a tiled dense matmul (TPU path): for each query tile,
     rebuild the matmul-metric distance row, turn it into the weight row
     W_ij = 1/d2_ij gated by d2 <= tau_i (tau = min(selection's k-th distance,
@@ -83,6 +83,11 @@ def _weighted_spfh_matmul(points, mask, spfh, tau, q_tile: int = 2048):
     a strict quality improvement over the gather formulation.
     """
     n = points.shape[0]
+    if q_tile is None:
+        # Cap the materialized W tile at ~256 MB (q_tile * n * 4B): 2048 rows
+        # at the 32k NCLT bucket, 256 at the 245k Courtyard bucket; keep it a
+        # multiple of 128 (sublane-friendly).
+        q_tile = max(128, min(2048, ((1 << 26) // max(n, 1)) // 128 * 128))
     rp = jnp.where(mask[:, None], points, knn_ops.PAD_COORD)
     rn = jnp.sum(rp * rp, axis=1)
     n_pad = -(-n // q_tile) * q_tile
