@@ -33,8 +33,8 @@ PAD_COORD = 1.0e6
 
 
 def _default_method() -> str:
-    """TPU: approx_min_k (hardware PartialReduce, ~6.6x the sort-based exact
-    path at 0.997 recall, measured on v5e); elsewhere: exact merge."""
+    """TPU: approx_min_k (hardware PartialReduce; see knn_approx's recall
+    notes for the measured cost/recall trade); elsewhere: exact merge."""
     return "approx" if jax.default_backend() == "tpu" else "exact"
 
 
