@@ -58,6 +58,11 @@ class PipelineConfig:
     retry_fitness: float = 0.15
     retry_voxel_mults: tuple = (2.0, 4.0)
     batch_size: int = 2              # pairs per device batch
+    # Streamed-loop pipelining depth: keep this many dispatched pairs in
+    # flight before fetching results.  Each fetch is a host<->device round
+    # trip (30-100 ms over a remote-TPU tunnel); a small window hides that
+    # latency behind the next pairs' device work.  1 = fully synchronous.
+    inflight: int = 4
     # "auto": plan the tightest safe static capacities from the loaded clouds
     # (cloud.plan_scale_caps); a tuple pins them; None disables compaction.
     scale_capacities: tuple | str | None = "auto"
@@ -109,7 +114,6 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
     n = n or poses_io.CIRCUIT_SIZES[cfg.dataset]
     clouds = clouds or _load_circuit_clouds(cfg, range(n))
     metrics = metrics if metrics is not None else PairMetrics()
-    poses = []
     # Per-cloud FGR features (normals + FPFH — the reference's hottest kernel,
     # 1_...py:44-50) are computed ONCE per scan and shared between the two
     # adjacent pairs each scan serves, mirroring stage 2's pyramid cache.
@@ -121,6 +125,32 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
         return feat_cache[i]
 
     ckpt = os.path.join(cfg.out_dir("metrics"), "stage1_partial.npy")
+    out = np.zeros((n, 4, 4))
+    # Pipelined loop: dispatch up to cfg.inflight pairs before fetching the
+    # oldest result, so each fetch's host<->device round trip overlaps the
+    # next pairs' device work (dispatched results hold their own device-buffer
+    # references, so the feature cache can evict eagerly).
+    inflight: list[tuple] = []
+    drained = 0
+    last_drain = time.time()
+
+    def drain_one():
+        nonlocal drained, last_drain
+        k, src_i, tgt_i, res, t0 = inflight.pop(0)
+        out[k] = np.asarray(res.transformation, np.float64)
+        # wall-true per-pair time: delta between consecutive result fetches
+        # (sums to stage wall time; a dispatch->fetch delta would count each
+        # pair's window-mates' device time cfg.inflight times over).
+        now = time.time()
+        metrics.add("fgr", src_i, tgt_i, float(res.fitness),
+                    float(res.inlier_rmse), now - last_drain)
+        last_drain = now
+        drained = k + 1
+        if drained % 50 == 0:  # crash-resumable partial checkpoint
+            os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+            np.save(ckpt, out[:drained])
+            metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"))
+
     for k, (src_i, tgt_i) in enumerate(circuit_pairs(n)):
         t0 = time.time()
         src, feat_src = features(src_i)
@@ -129,18 +159,15 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
         res = fgr_mod.registration_fgr(
             src, tgt, feat_src, feat_tgt, opts, seed=cfg.fgr_seed + src_i
         )
-        T = np.asarray(res.transformation, np.float64)
-        poses.append(T)
-        metrics.add("fgr", src_i, tgt_i, float(res.fitness),
-                    float(res.inlier_rmse), time.time() - t0)
+        inflight.append((k, src_i, tgt_i, res, t0))
         # keep only features still needed (next pair reuses cloud src_i)
         for key in [key for key in feat_cache if key not in (src_i, (src_i + 1) % n)]:
             del feat_cache[key]
-        if (k + 1) % 50 == 0:  # crash-resumable partial checkpoint
-            os.makedirs(os.path.dirname(ckpt), exist_ok=True)
-            np.save(ckpt, np.stack(poses))
-            metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"))
-    poses = np.stack(poses)
+        while len(inflight) >= max(cfg.inflight, 1):
+            drain_one()
+    while inflight:
+        drain_one()
+    poses = out
     poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR"), poses)
     metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"))
     return poses
@@ -210,6 +237,34 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
             return pyr_cache[i]
 
         ckpt = os.path.join(cfg.out_dir("metrics"), "stage2_partial.npy")
+        # Pipelined loop (see run_stage1_fgr): dispatch cfg.inflight pairs
+        # ahead of the oldest fetch; pairs whose fitness lands at/below the
+        # retry gate are collected and re-registered in a second pass so the
+        # main loop never stalls on a retry ladder.
+        inflight: list[tuple] = []
+        retries: list[tuple] = []
+        row_of: dict[int, int] = {}
+        drained = 0
+        last_drain = time.time()
+
+        def drain_one():
+            nonlocal drained, last_drain
+            k, s, t, res, t0 = inflight.pop(0)
+            fit = float(res.fitness)
+            out[k] = np.asarray(res.transformation, np.float64)
+            row_of[k] = len(metrics.rows)
+            now = time.time()  # wall-true delta (see run_stage1_fgr note)
+            metrics.add("mgicp", s, t, fit, float(res.inlier_rmse),
+                        now - last_drain, status="ok")
+            last_drain = now
+            if cfg.retry_failed and fit <= cfg.retry_fitness:
+                retries.append((k, s, t, res))
+            drained = k + 1
+            if drained % 50 == 0:  # crash-resumable partial checkpoint
+                os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+                np.save(ckpt, out[:drained])
+                metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"))
+
         for k, (s, t) in enumerate(pairs):
             t0 = time.time()
             res = ms_mod.multiscale_gicp_pyramids(
@@ -217,20 +272,26 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
                 jnp.asarray(init_poses[k], jnp.float32),
                 n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations,
             )
-            status = "ok"
-            if cfg.retry_failed and float(res.fitness) <= cfg.retry_fitness:
-                res, status = _retry_pair(cfg, clouds[s], clouds[t], res,
-                                          pyramid(s), pyramid(t), seed_base=s)
-            out[k] = np.asarray(res.transformation, np.float64)
-            metrics.add("mgicp", s, t, float(res.fitness),
-                        float(res.inlier_rmse), time.time() - t0, status=status)
-            # keep only pyramids still needed (next pair reuses cloud s)
+            inflight.append((k, s, t, res, t0))
+            # keep only pyramids still needed by upcoming dispatches
             for key in [key for key in pyr_cache if key not in (s, (s + 1) % n)]:
                 del pyr_cache[key]
-            if (k + 1) % 50 == 0:  # crash-resumable partial checkpoint
-                os.makedirs(os.path.dirname(ckpt), exist_ok=True)
-                np.save(ckpt, out[: k + 1])
-                metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"))
+            while len(inflight) >= max(cfg.inflight, 1):
+                drain_one()
+        while inflight:
+            drain_one()
+        for k, s, t, res0 in retries:  # second pass: retry ladder per failure
+            t0 = time.time()
+            res, status = _retry_pair(cfg, clouds[s], clouds[t], res0,
+                                      pyramid(s), pyramid(t), seed_base=s)
+            out[k] = np.asarray(res.transformation, np.float64)
+            metrics.rows[row_of[k]] = dict(
+                stage="mgicp", src=int(s), tgt=int(t),
+                fitness=float(res.fitness), rmse=float(res.inlier_rmse),
+                seconds=metrics.rows[row_of[k]]["seconds"] + (time.time() - t0),
+                status=status)
+            for key in [key for key in pyr_cache if key not in (s, (s + 1) % n)]:
+                del pyr_cache[key]
         poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR_GICP"), out)
         abs_poses = se3.relative_to_absolute(out)
         poses_io.save_absolute_poses(
