@@ -180,10 +180,28 @@ def _lum_solve(T_rel, R_abs, weights=None):
     return X  # (n-1, 3) adjusted absolute translations for nodes 1..n-1
 
 
-def refine_lum(T_rel: np.ndarray, weights=None) -> np.ndarray:
+def lum_posterior_variance(T_rel, X, R_abs, weights=None):
+    """A-posteriori variance factor sigma0^2 = V^T P V / 3 of the LUM solve
+    (the reference prints it: ``ALL_FUNCTIONS.py:620,658``; 3 = redundancy of
+    the circuit).  V is computed from the tridiagonal structure without
+    materializing A: V_0 = Lb_0 - X_0, V_i = Lb_i - (X_i - X_{i-1}),
+    V_{n-1} = Lb_{n-1} + X_{n-2}."""
+    xp = np if isinstance(T_rel, np.ndarray) else jnp
+    n = T_rel.shape[0]
+    Lb = xp.einsum("nij,nj->ni", R_abs[:n], se3.trans(T_rel))
+    Xp = xp.concatenate([xp.zeros((1, 3), dtype=Lb.dtype), xp.asarray(X, Lb.dtype),
+                         xp.zeros((1, 3), dtype=Lb.dtype)], axis=0)  # X_{-1}=X_{n-1}=0
+    V = Lb - (Xp[1:] - Xp[:-1])
+    w = xp.ones((n,), Lb.dtype) if weights is None else xp.asarray(weights, Lb.dtype)
+    return float(xp.sum(w * xp.sum(V * V, axis=1)) / 3.0)
+
+
+def refine_lum(T_rel: np.ndarray, weights=None, return_sigma0: bool = False):
     """``reconstruir_Ts_para_origem_LUM`` (3_...py:191-219; weighted variant
     ALL_FUNCTIONS.py:597-629).  Rotations: plain forward chain; translations:
-    LUM least squares.  Returns (n, 4, 4) absolute poses."""
+    LUM least squares.  Returns (n, 4, 4) absolute poses; with
+    ``return_sigma0`` also the a-posteriori variance factor the reference
+    prints."""
     R_abs = se3.chain_rotations_ref(se3.rot(T_rel))          # R_abs[0] = I
     X = _lum_solve(T_rel, R_abs, weights)
     xp = np if isinstance(T_rel, np.ndarray) else jnp
