@@ -60,8 +60,9 @@ def match_features(feat_src, src_mask, feat_tgt, tgt_mask):
     Returns (corr_src_idx (N,), corr_tgt_idx (N,), corr_mask (N,)) where N is
     the source capacity — pair i is (i, nn_tgt[i]) kept when mutual.
     """
-    _, ij = knn_ops.nn1(feat_src, feat_tgt, tgt_mask)
-    _, ji = knn_ops.nn1(feat_tgt, feat_src, src_mask)
+    # One fused pass computes both argmin directions (see knn.nn1_mutual) —
+    # two nn1 calls over 33-dim features were the FGR per-pair bottleneck.
+    ij, ji = knn_ops.nn1_mutual(feat_src, src_mask, feat_tgt, tgt_mask)
     n = feat_src.shape[0]
     mutual = ji[ij] == jnp.arange(n, dtype=jnp.int32)
     return jnp.arange(n, dtype=jnp.int32), ij, mutual & src_mask
@@ -171,6 +172,7 @@ def fgr_from_correspondences(
     return se3.make_pose(R, t)
 
 
+@functools.partial(jax.jit, static_argnames=("opts", "n_trials"))
 def registration_fgr(
     source: Cloud,
     target: Cloud,
@@ -180,7 +182,11 @@ def registration_fgr(
     seed: int = 0,
     n_trials: int = 16384,
 ) -> RegistrationResult:
-    """Full FGR: mutual matching -> tuple test -> GNC -> evaluation."""
+    """Full FGR: mutual matching -> tuple test -> GNC -> evaluation.
+
+    One jit end-to-end: the eager tuple-test/matching glue used to cost ~20
+    small dispatches per pair — real latency through the remote-TPU tunnel in
+    the 901-pair circuit loop."""
     corr_i, corr_j, corr_mask = match_features(feat_src, source.mask, feat_tgt, target.mask)
     if opts.tuple_test:
         corr_mask = tuple_test(
@@ -196,13 +202,34 @@ def registration_fgr(
     return RegistrationResult(T, fitness, rmse, n_corr, jnp.int32(opts.iteration_number))
 
 
-def fgr_features(c: Cloud, voxel_size: float) -> tuple[Cloud, jnp.ndarray]:
+@jax.jit
+def fgr_features(c: Cloud, voxel_size) -> tuple[Cloud, jnp.ndarray]:
     """Per-cloud FGR preprocessing: hybrid normals (2v, 20) + FPFH (10v, 200)
     (1_...py:44-50).  Split out so circuit runners compute each cloud's
     features ONCE — every scan serves two adjacent pairs (pipeline stage 1),
-    halving the dominant FPFH cost of the reference's per-pair loop."""
-    c = normals_ops.with_normals_hybrid(c, 2 * voxel_size, 20)
-    feat = fpfh_ops.fpfh(c.points, c.normals, c.mask, 10 * voxel_size, 200)
+    halving the dominant FPFH cost of the reference's per-pair loop.
+
+    One jit: a single k=200 selection serves both consumers (its first 19
+    columns plus the query itself are the hybrid(2v, 20) normal neighborhood,
+    the full 200 the FPFH neighborhood), and the whole chain compiles as one
+    executable — the selection is the dominant cost, everything downstream
+    fuses around it."""
+    # recall 0.90: the selection costs 119 ms vs 168 ms at 0.95 (v5e, 32k
+    # bucket) and its misses are tail-rank — the FPFH pass-2 matmul re-admits
+    # every true neighbor within tau anyway, and the normals slice uses only
+    # the top-19 ranks where recall stays high.  Validated on TPU against the
+    # NCLT FGR fixtures (see BENCHMARKS.md).
+    d2, idx = knn_ops.knn(
+        c.points, c.points, c.mask, 200, exclude_self=True, rescore=False,
+        recall=0.90,
+    )
+    normals, cov = normals_ops.estimate_normals_hybrid_from_knn(
+        c.points, c.mask, d2, idx, 2 * voxel_size, 20
+    )
+    c = c.with_(normals=normals, covariances=cov)
+    feat = fpfh_ops.fpfh(
+        c.points, c.normals, c.mask, 10 * voxel_size, 200, knn_result=(d2, idx)
+    )
     return c, feat
 
 

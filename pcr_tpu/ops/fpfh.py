@@ -122,19 +122,28 @@ def fpfh(
     radius,
     max_nn: int = 200,
     nb_chunk: int = 25,
+    knn_result=None,
 ) -> jnp.ndarray:
     """Compute (N, 33) FPFH features with Hybrid(radius, max_nn) neighborhoods.
 
     Both accumulation passes scan over neighbor chunks of size ``nb_chunk`` so
     peak memory is O(N * nb_chunk) instead of O(N * max_nn * 33).
+
+    ``knn_result`` — optional precomputed self-kNN ``(d2, idx)`` with
+    exclude_self=True and >= max_nn ascending columns (the selection is the
+    dominant FPFH cost; fgr_features shares one between normals and FPFH).
     """
     assert max_nn % nb_chunk == 0
     n = points.shape[0]
-    # rescore=False: SPFH/FPFH weights are 1/d^2 over ~200 neighbors — the
-    # matmul-metric's ~1e-3 m^2 cancellation error is noise there, and the
-    # exact-rescore gather costs ~0.2 s per 32k cloud (see knn_approx).
-    d2, idx = knn_ops.knn(points, points, mask, max_nn, exclude_self=True,
-                          rescore=False)
+    if knn_result is None:
+        # rescore=False: SPFH/FPFH weights are 1/d^2 over ~200 neighbors — the
+        # matmul-metric's ~1e-3 m^2 cancellation error is noise there, and the
+        # exact-rescore gather costs ~0.2 s per 32k cloud (see knn_approx).
+        d2, idx = knn_ops.knn(points, points, mask, max_nn, exclude_self=True,
+                              rescore=False)
+    else:
+        d2, idx = knn_result
+        d2, idx = d2[:, :max_nn], idx[:, :max_nn]
     valid = (d2 <= jnp.float32(radius) ** 2) & mask[:, None] & (d2 < knn_ops.BIG)
 
     w = valid.astype(jnp.float32)

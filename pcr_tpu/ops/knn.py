@@ -301,6 +301,54 @@ def nn1_exact(
     return d.reshape(nq_pad)[:nq], i.reshape(nq_pad)[:nq]
 
 
+@functools.partial(jax.jit, static_argnames=("q_tile",))
+def nn1_mutual(
+    a: jnp.ndarray,
+    a_mask: jnp.ndarray,
+    b: jnp.ndarray,
+    b_mask: jnp.ndarray,
+    *,
+    q_tile: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Simultaneous a->b and b->a exact nearest-neighbor indices in ONE pass
+    over the distance tiles (the FGR mutual-matching hot path,
+    models/fgr.py:match_features).
+
+    Two separate ``nn1`` calls each pay a full O(Na*Nb) distance sweep; here
+    every (q_tile, Nb) tile updates the row argmin (a->b) and a carried
+    column argmin (b->a) before being discarded, halving the HBM/VPU work.
+
+    Returns (ij (Na,) int32, ji (Nb,) int32); rows with no valid partner
+    (masked query, or empty other side) get index 0 — callers must gate on
+    their own masks, exactly as with ``nn1``.
+    """
+    na, nb = a.shape[0], b.shape[0]
+    na_pad = -(-na // q_tile) * q_tile
+    ap = _pad_rows(a, na_pad, 0.0)
+    amask = _pad_rows(a_mask, na_pad, False)
+    a_tiles = ap.reshape(na_pad // q_tile, q_tile, a.shape[1])
+    am_tiles = amask.reshape(na_pad // q_tile, q_tile)
+    tile_ids = jnp.arange(na_pad // q_tile, dtype=jnp.int32)
+
+    def scan_tile(carry, inp):
+        col_d, col_i = carry
+        q, qm, tid = inp
+        d2 = _chunk_sqdist(q, b)                     # (q_tile, Nb)
+        d2 = jnp.where(qm[:, None] & b_mask[None, :], d2, BIG)
+        row_i = (jnp.argmin(d2, axis=1)).astype(jnp.int32)
+        cmin = jnp.min(d2, axis=0)                   # (Nb,)
+        carg = tid * q_tile + jnp.argmin(d2, axis=0).astype(jnp.int32)
+        take = cmin < col_d
+        return (
+            (jnp.where(take, cmin, col_d), jnp.where(take, carg, col_i)),
+            row_i,
+        )
+
+    init = (jnp.full((nb,), BIG, jnp.float32), jnp.zeros((nb,), jnp.int32))
+    (_, ji), ij = jax.lax.scan(scan_tile, init, (a_tiles, am_tiles, tile_ids))
+    return ij.reshape(na_pad)[:na], ji
+
+
 def hybrid(query, ref, ref_mask, k: int, radius: float, **kw):
     """KDTreeSearchParamHybrid semantics (1_...py:44-48): k nearest within
     `radius`; neighbors beyond the radius are flagged invalid.

@@ -63,6 +63,26 @@ def estimate_normals_hybrid(points, mask, radius, k: int = 20):
     return _finish_normals(points, mask, idx, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def estimate_normals_hybrid_from_knn(points, mask, d2, idx, radius, k: int = 20):
+    """Hybrid(radius, k) normals reusing a precomputed self-excluded kNN
+    (``knn(..., exclude_self=True)``, >= k-1 columns, ascending).
+
+    The neighborhood is the query point itself plus its k-1 nearest within
+    ``radius`` — the same set Open3D's hybrid search returns (its KNN counts
+    the query as its own first neighbor).  Lets fgr_features share one
+    selection between normals (k=20) and FPFH (k=200) instead of paying two.
+    """
+    n = points.shape[0]
+    self_idx = jnp.arange(n, dtype=jnp.int32)
+    idx_k = jnp.concatenate([self_idx[:, None], idx[:, : k - 1]], axis=1)
+    d2_k = jnp.concatenate(
+        [jnp.zeros((n, 1), jnp.float32), d2[:, : k - 1]], axis=1
+    )
+    valid = (d2_k <= jnp.float32(radius) ** 2) & mask[:, None]
+    return _finish_normals(points, mask, idx_k, valid)
+
+
 def _finish_normals(points, mask, idx, valid):
     _, cov = _neighbor_moments(points, idx, valid)
     enough = jnp.sum(valid, axis=1) >= 3

@@ -93,6 +93,40 @@ def test_nn1_matches_knn(rng):
     np.testing.assert_array_equal(np.asarray(i1)[:400], oidx[:, 0])
 
 
+def test_nn1_mutual_matches_two_nn1(rng):
+    """One-pass mutual NN (the FGR matching kernel) == two separate argmins,
+    including masked rows on both sides and a non-multiple-of-tile size."""
+    a = rng.normal(size=(300, 33)).astype(np.float32)
+    b = rng.normal(size=(200, 33)).astype(np.float32)
+    ca = cloud.from_numpy(rng.normal(size=(300, 3)).astype(np.float32), capacity=384)
+    cb = cloud.from_numpy(rng.normal(size=(200, 3)).astype(np.float32), capacity=256)
+    fa = np.zeros((384, 33), np.float32); fa[:300] = a
+    fb = np.zeros((256, 33), np.float32); fb[:200] = b
+    ij, ji = knn.nn1_mutual(jnp.asarray(fa), ca.mask, jnp.asarray(fb), cb.mask,
+                            q_tile=128)
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(ij)[:300], d2.argmin(axis=1))
+    np.testing.assert_array_equal(np.asarray(ji)[:200], d2.argmin(axis=0))
+
+
+def test_normals_hybrid_from_knn_matches_direct(rng):
+    """Sharing the FPFH k=200 selection with normals (fgr_features) gives the
+    same hybrid(r, 20) normals as the direct path on exact-selection data."""
+    pts, c = make_points(rng, 300, cap=512, scale=1.0)
+    n_direct, cov_direct = normals.estimate_normals_hybrid(c.points, c.mask, 0.8, 20)
+    d2, idx = knn.knn_exact(c.points, c.points, c.mask, 64, exclude_self=True,
+                            q_tile=128, r_chunk=256)
+    n_shared, cov_shared = normals.estimate_normals_hybrid_from_knn(
+        c.points, c.mask, d2, idx, 0.8, 20)
+    # atol 2e-3: a neighbor exactly at the radius boundary can flip in/out
+    # between the two paths' distance computations (matmul-metric vs exact),
+    # perturbing that point's covariance/normal slightly.
+    np.testing.assert_allclose(np.asarray(n_shared), np.asarray(n_direct),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cov_shared), np.asarray(cov_direct),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_hybrid_radius_gate(rng):
     pts, c = make_points(rng, 200, cap=256, scale=1.0)
     d2, idx, valid = knn.hybrid(c.points, c.points, c.mask, 10, radius=0.5, q_tile=64, r_chunk=64)
