@@ -191,11 +191,13 @@ def main():
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks", "baseline_cpu.json"
     )
-    vs = None
+    vs = vs_fgr = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as fh:
             base = json.load(fh)
         vs = pairs_per_sec / base["pairs_per_sec"]
+        if "fgr_pairs_per_sec" in base:  # stage-1 ratio (VERDICT r2 item 6)
+            vs_fgr = fgr_pairs_per_sec / base["fgr_pairs_per_sec"]
 
     print(
         json.dumps(
@@ -209,6 +211,8 @@ def main():
                     "batch": BATCH,
                     "first_run_incl_compile_s": round(compile_and_first, 1),
                     "nclt_fgr_pairs_per_sec": round(fgr_pairs_per_sec, 3),
+                    "vs_baseline_fgr": (
+                        round(vs_fgr, 2) if vs_fgr is not None else None),
                     "platform": jax.devices()[0].platform,
                     "device": str(jax.devices()[0]),
                     **({"per_scale": per_scale} if per_scale else {}),

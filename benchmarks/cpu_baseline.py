@@ -117,6 +117,126 @@ def mgicp_pair(src_pts, tgt_pts, T0, n_scales=5, iters=100):
     return T
 
 
+# ---------------------------------------------------------------------------
+# Stage-1 baseline: FPFH features + FGR (the reference's hottest kernel,
+# 1_FGR_pairwise_registration...py:44-65) in numpy + cKDTree.
+# ---------------------------------------------------------------------------
+
+def estimate_normals(pts, radius=0.2, max_nn=20):
+    tree = cKDTree(pts)
+    d, idx = tree.query(pts, max_nn)
+    idx = np.where(d <= radius, idx, np.arange(len(pts))[:, None])
+    nb = pts[idx]
+    c = nb - nb.mean(1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", c, c)
+    _, V = np.linalg.eigh(cov)
+    return V[:, :, 0]  # smallest-eigenvalue direction
+
+
+def fpfh(pts, normals, radius=1.0, max_nn=200):
+    """33-dim FPFH: SPFH Darboux-angle histograms (11 bins x 3 features) +
+    distance-weighted neighbor sum, the Open3D two-pass structure."""
+    n = len(pts)
+    tree = cKDTree(pts)
+    d, idx = tree.query(pts, max_nn, distance_upper_bound=radius)
+    valid = np.isfinite(d) & (d > 0)
+    idx = np.where(valid, idx, 0)
+    # pair features between each point and its neighbors
+    p = pts[:, None, :]
+    q = pts[idx]
+    u = normals[:, None, :]
+    nq = normals[idx]
+    dv = q - p
+    dist = np.maximum(np.linalg.norm(dv, axis=2), 1e-12)
+    dvn = dv / dist[..., None]
+    v = np.cross(dvn, np.broadcast_to(u, dvn.shape))
+    w = np.cross(np.broadcast_to(u, dvn.shape), v)
+    f1 = np.einsum("nkj,nkj->nk", v, nq)                      # alpha
+    f2 = np.einsum("nkj,nkj->nk", dvn, np.broadcast_to(u, dvn.shape))  # phi
+    f3 = np.arctan2(np.einsum("nkj,nkj->nk", w, nq),
+                    np.einsum("nkj,nkj->nk", np.broadcast_to(u, dvn.shape), nq))
+    spfh = np.zeros((n, 33))
+    rows = np.broadcast_to(np.arange(n)[:, None], f1.shape)[valid]
+    for k, (f, lo, hi) in enumerate(
+            ((f1, -1.0, 1.0), (f2, -1.0, 1.0), (f3, -np.pi, np.pi))):
+        b = np.clip(((f - lo) / (hi - lo) * 11).astype(np.int64), 0, 10)
+        np.add.at(spfh, (rows, 11 * k + b[valid]), 1.0)
+    # second pass: distance-weighted neighbor SPFH sum
+    wgt = np.where(valid, 1.0 / np.maximum(d, 1e-12), 0.0)
+    out = spfh + np.einsum("nk,nkf->nf", wgt, spfh[idx])
+    norm = np.linalg.norm(out, axis=1, keepdims=True)
+    return out / np.maximum(norm, 1e-12)
+
+
+def fgr_pair(src, feat_s, tgt, feat_t, max_dist=0.2, iters=300,
+             division_factor=1.4, tuple_scale=0.95, seed=0):
+    """Mutual feature matching -> tuple test -> Geman-McClure GNC."""
+    ts = cKDTree(feat_t)
+    tt = cKDTree(feat_s)
+    _, ij = ts.query(feat_s, 1)
+    _, ji = tt.query(feat_t, 1)
+    mutual = ji[ij] == np.arange(len(feat_s))
+    ci = np.arange(len(feat_s))[mutual]
+    cj = ij[mutual]
+    # tuple test
+    rng = np.random.default_rng(seed)
+    m = len(ci)
+    keep = np.zeros(m, bool)
+    if m >= 3:
+        tri = rng.integers(0, m, size=(min(m * 3, 30000), 3))
+        pa, qa = src[ci[tri]], tgt[cj[tri]]
+        ok = np.ones(len(tri), bool)
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            r = (np.linalg.norm(pa[:, a] - pa[:, b], axis=1)
+                 / np.maximum(np.linalg.norm(qa[:, a] - qa[:, b], axis=1), 1e-12))
+            ok &= (r > tuple_scale) & (r < 1 / tuple_scale)
+        keep[np.unique(tri[ok])] = True
+    p, q = src[ci[keep]], tgt[cj[keep]]
+    if len(p) < 3:
+        return np.eye(4)
+    # normalized GNC (use_absolute_scale=False)
+    c_p, c_q = p.mean(0), q.mean(0)
+    scale = max(np.abs(p - c_p).max(), np.abs(q - c_q).max(), 1e-6)
+    pn, qn = (p - c_p) / scale, (q - c_q) / scale
+    T = np.eye(4)
+    mu = 1.0
+    delta = max_dist / scale
+    for it in range(iters):
+        if it % 4 == 0 and mu > delta * delta:
+            mu /= division_factor
+        pt = pn @ T[:3, :3].T + T[:3, 3]
+        r = qn - pt
+        r2 = (r * r).sum(1)
+        l = (mu / (mu + r2)) ** 2
+        G = np.concatenate([skew(pt), -np.broadcast_to(np.eye(3), pt.shape + (3,))], axis=2)
+        H = np.einsum("nij,nik,n->jk", G, G, l)
+        g = np.einsum("nij,ni,n->j", G, r, l)
+        xi = -np.linalg.solve(H + 1e-6 * (np.trace(H) / 6 + 1) * np.eye(6), g)
+        T = se3_exp(xi) @ T
+    R = T[:3, :3]
+    t = scale * T[:3, 3] + c_q - R @ c_p
+    out = np.eye(4); out[:3, :3] = R; out[:3, 3] = t
+    return out
+
+
+def stage1_features(pts, voxel=0.1):
+    normals = estimate_normals(pts, radius=2 * voxel, max_nn=20)
+    return fpfh(pts, normals, radius=10 * voxel, max_nn=200)
+
+
+def bench_stage1(clouds, n_pairs):
+    """Per-scan features shared by the two pairs each scan serves — the same
+    economy as the TPU pipeline, so the ratio compares like for like."""
+    t0 = time.time()
+    feats = {}
+    for i in range(n_pairs):
+        for k in (i, i + 1):
+            if k not in feats:
+                feats[k] = stage1_features(clouds[k])
+        fgr_pair(clouds[i + 1], feats[i + 1], clouds[i], feats[i], seed=i + 1)
+    return n_pairs / (time.time() - t0)
+
+
 def main(n_pairs=4):
     clouds = [
         pcd.read_pcd(poses_io.reference_cloud_path("NCLT", i)).points.astype(np.float64)
@@ -132,11 +252,15 @@ def main(n_pairs=4):
     for i in range(n_pairs):
         mgicp_pair(clouds[i + 1], clouds[i], init[i])
     dt = time.time() - t0
+    fgr_pps = bench_stage1(clouds, n_pairs)
     result = {
         "pairs_per_sec": n_pairs / dt,
         "seconds_per_pair": dt / n_pairs,
+        "fgr_pairs_per_sec": fgr_pps,
+        "fgr_seconds_per_pair": 1.0 / fgr_pps,
         "n_pairs": n_pairs,
-        "workload": "NCLT stage-2 M-GICP (5 scales, 100 iters, L1)",
+        "workload": "NCLT stage-2 M-GICP (5 scales, 100 iters, L1) "
+                    "+ stage-1 FPFH+FGR (1_...py:44-65)",
         "impl": "numpy+scipy cKDTree CPU baseline",
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "baseline_cpu.json")

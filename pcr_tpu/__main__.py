@@ -40,6 +40,9 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--voxel-size", type=float, default=0.1)
         sp.add_argument("--output-root", default="outputs")
         sp.add_argument("--batch-size", type=int, default=1)
+        sp.add_argument("--devices", type=int, default=None,
+                        help="shard pairs over the first N local devices "
+                             "('pairs' mesh; default: no mesh, one device)")
         return sp
 
     add_common(sub.add_parser("stage1", help="FGR coarse pairwise registration"))
@@ -67,6 +70,9 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--init", default="fgr", choices=["fgr", "fixture"])
     pr.add_argument("--scales", type=int, default=5)
     pr.add_argument("--iterations", type=int, default=100)
+    pr.add_argument("--shard-points", type=int, default=None,
+                    help="shard the pair's source rows over the first N "
+                         "devices ('points' mesh) during refinement")
     r = add_common(sub.add_parser("report", help="export trajectories + error plots"))
     r.add_argument("--methods", nargs="+",
                    default=["LUM", "SLERP", "SLERP_LUM", "pose_graph"])
@@ -110,16 +116,34 @@ def main(argv=None) -> int:
     t0 = time.time()
     summary: dict = {"command": args.command, "n": n,
                      "config": dataclasses.asdict(cfg)}
+    mesh = None
+    if getattr(args, "devices", None):
+        from .parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_pair_mesh(args.devices)
+        summary["mesh"] = {"pairs": args.devices}
+
+    def stage2_rates(metrics):
+        """Success at the gate's intended measurement (full-cloud fitness at
+        2*voxel — what _retry_pair scores) plus the finest-scale rate for
+        reference (0.1 m correspondences read misleadingly low outdoors)."""
+        return {
+            "success_rate": metrics.success_rate(
+                cfg.fitness_gate, key="gate_fitness", stage="mgicp"),
+            "success_rate_finest_scale": metrics.success_rate(
+                cfg.fitness_gate, stage="mgicp"),
+        }
 
     if args.command == "stage1":
         metrics = pipeline.PairMetrics()
-        pipeline.run_stage1_fgr(cfg, n=n, metrics=metrics)
+        pipeline.run_stage1_fgr(cfg, n=n, metrics=metrics, mesh=mesh)
         summary["success_rate"] = metrics.success_rate(cfg.fitness_gate)
     elif args.command == "stage2":
         init = _load_init(args, cfg, n, "relative_poses_FGR", "FGR")
         metrics = pipeline.PairMetrics()
-        pipeline.run_stage2_mgicp(cfg, init_poses=init, n=n, metrics=metrics)
-        summary["success_rate"] = metrics.success_rate(cfg.fitness_gate)
+        pipeline.run_stage2_mgicp(cfg, init_poses=init, n=n, metrics=metrics,
+                                  mesh=mesh)
+        summary.update(stage2_rates(metrics))
     elif args.command == "stage3":
         rel = _load_init(args, cfg, n, "relative_poses_FGR_GICP", "FGR_GICP")
         results = pipeline.run_stage3_global(
@@ -130,15 +154,24 @@ def main(argv=None) -> int:
 
         metrics = pipeline.PairMetrics()
         clouds = cloud_mod.load_dataset(cfg.dataset, indices=range(n))
-        rel1 = pipeline.run_stage1_fgr(cfg, clouds=clouds, n=n, metrics=metrics)
+        rel1 = pipeline.run_stage1_fgr(cfg, clouds=clouds, n=n, metrics=metrics,
+                                       mesh=mesh)
         rel2 = pipeline.run_stage2_mgicp(
-            cfg, init_poses=rel1, clouds=clouds, n=n, metrics=metrics)
+            cfg, init_poses=rel1, clouds=clouds, n=n, metrics=metrics, mesh=mesh)
         results = pipeline.run_stage3_global(
             cfg, relative_poses=rel2, clouds=clouds, n=n)
         summary["methods"] = sorted(results)
-        summary["success_rate"] = metrics.success_rate(cfg.fitness_gate)
+        summary.update(stage2_rates(metrics))
+        summary["stage1_success_rate"] = metrics.success_rate(
+            cfg.fitness_gate, stage="fgr")
     elif args.command == "pair":
-        out = pipeline.run_pair(cfg, args.src, args.tgt, init=args.init)
+        pmesh = None
+        if getattr(args, "shard_points", None):
+            from .parallel import mesh as mesh_mod
+
+            pmesh = mesh_mod.make_point_mesh(args.shard_points)
+        out = pipeline.run_pair(cfg, args.src, args.tgt, init=args.init,
+                                point_mesh=pmesh)
         summary.update(out)
     elif args.command == "report":
         import numpy as np

@@ -93,3 +93,38 @@ def evaluate_registration_batch(
 ):
     f = functools.partial(evaluate_registration, method=method, band=band)
     return jax.vmap(f, in_axes=(0, 0, None, 0))(source, target, max_dist, T)
+
+
+def circuit_edge_consistency(absolute_poses, relative_poses):
+    """Per-edge agreement between a trajectory and the measured relative poses
+    — the quantitative 'did global refinement beat the raw chain' statement
+    the reference reads off its groundtruth plots (3_...py:368-400; no
+    groundtruth ships, so consistency with the measured edges is the
+    intrinsic metric).
+
+    For edge k (pair ((k+1) % n, k)) the trajectory implies
+    T_impl = compose_ref(A_{(k+1)%n}, invert(A_k)) — the reference's own
+    absolute->relative recovery (``poses_absolutas_para_relativas``,
+    ALL_FUNCTIONS.py:831-837), the exact inverse of its chain composition, so
+    the raw chain satisfies edges 0..n-2 to machine precision and dumps the
+    whole circuit closure on edge n-1 (NCLT: 40.82 m from the fixtures); a
+    refined trajectory distributes it.  (Translation agrees with the standard
+    inv(A_k) @ A_{k+1}; only the rotation order differs — SURVEY P11's
+    ``compor_duas_poses`` quirk.)  Host-side f64 numpy (901-pose chains lose
+    centimeters in f32).  Returns {dR: (n,), dt: (n,)} plus summary floats.
+    """
+    import numpy as np
+
+    A = np.asarray(absolute_poses, np.float64)
+    rel = np.asarray(relative_poses, np.float64)
+    n = A.shape[0]
+    A_next = np.concatenate([A[1:], A[:1]])
+    impl = np.asarray(se3.compose_ref(A_next, se3.invert(A)))
+    dR = np.linalg.norm(impl[:, :3, :3] - rel[:, :3, :3], axis=(1, 2)) * np.sqrt(2) / 2
+    dt = np.linalg.norm(impl[:, :3, 3] - rel[:, :3, 3], axis=1)
+    return {
+        "dR": dR, "dt": dt,
+        "dt_max_m": float(dt.max()), "dt_mean_m": float(dt.mean()),
+        "dt_closure_edge_m": float(dt[-1]),
+        "dR_max": float(dR.max()), "dR_mean": float(dR.mean()),
+    }

@@ -233,6 +233,36 @@ def fgr_features(c: Cloud, voxel_size) -> tuple[Cloud, jnp.ndarray]:
     return c, feat
 
 
+@functools.partial(jax.jit, static_argnames=("opts", "n_trials"))
+def batched_registration_fgr(
+    source: Cloud,
+    target: Cloud,
+    feat_src,
+    feat_tgt,
+    opts: FgrOptions,
+    seeds,
+    n_trials: int = 16384,
+) -> RegistrationResult:
+    """vmapped FGR over stacked pairs (leading dim B) — the pair-parallel
+    form of the reference's serial stage-1 loop (1_...py:134-147).  ``seeds``
+    is an (B,) int array, one tuple-test seed per pair (matching the serial
+    runner's per-pair ``fgr_seed + src_index`` so batched == serial)."""
+
+    def one(s, t, fs, ft, sd):
+        return registration_fgr(s, t, fs, ft, opts, sd, n_trials)
+
+    return jax.vmap(one)(source, target, feat_src, feat_tgt, jnp.asarray(seeds))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def batched_fgr_features(clouds: Cloud, voxel_size) -> tuple[Cloud, jnp.ndarray]:
+    """vmapped ``fgr_features`` over stacked scans (leading dim B).  Circuit
+    runners stack the B+1 scans a B-pair chunk touches, featurize each scan
+    once, and slice src/tgt views — keeping stage 1's once-per-scan FPFH
+    economy while filling the chip with a batch."""
+    return jax.vmap(fgr_features, in_axes=(0, None))(clouds, voxel_size)
+
+
 def default_options(
     source: Cloud, target: Cloud, voxel_size: float,
     use_absolute_scale: bool = False,

@@ -165,24 +165,35 @@ def _correspond(src_pts, src_mask, tgt_pts, tgt_mask, T, max_dist, accel=None,
     return p, j, valid, d2
 
 
-def _metrics(valid, d2, src_mask):
+def _metrics(valid, d2, src_mask, axis_name=None):
+    """fitness/rmse/n_corr reductions; with ``axis_name`` set (point-sharded
+    source inside shard_map) the raw sums are psummed so every device reports
+    the global metrics."""
     n_corr = jnp.sum(valid.astype(jnp.float32))
-    n_src = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32)), 1.0)
-    fitness = n_corr / n_src
-    rmse = jnp.sqrt(jnp.sum(jnp.where(valid, d2, 0.0)) / jnp.maximum(n_corr, 1.0))
+    n_src = jnp.sum(src_mask.astype(jnp.float32))
+    sum_d2 = jnp.sum(jnp.where(valid, d2, 0.0))
+    if axis_name is not None:
+        n_corr, n_src, sum_d2 = jax.lax.psum((n_corr, n_src, sum_d2), axis_name)
+    fitness = n_corr / jnp.maximum(n_src, 1.0)
+    rmse = jnp.sqrt(sum_d2 / jnp.maximum(n_corr, 1.0))
     return fitness, rmse, n_corr
 
 
-@functools.partial(jax.jit, static_argnames=("loss", "band_backend"))
+@functools.partial(jax.jit, static_argnames=("loss", "band_backend", "axis_name"))
 def gicp_step(
     src_pts, src_cov, src_mask, tgt_pts, tgt_cov, tgt_mask, T, max_dist,
     loss: str = "l1", gm_k: float = 1.0, accel=None, band_backend: str = "xla",
+    axis_name: str | None = None,
 ):
     """One correspondence + Gauss-Newton update. Returns (T_new, fitness,
-    rmse, n_corr) where fitness/rmse are measured at the *input* pose."""
+    rmse, n_corr) where fitness/rmse are measured at the *input* pose.
+
+    With ``axis_name`` set the source rows are a shard of a mesh axis
+    (parallel.point_sharding): H/g and the metric sums are psum-reduced so
+    every device takes the identical global pose update."""
     p, j, valid, d2 = _correspond(src_pts, src_mask, tgt_pts, tgt_mask, T, max_dist,
                                   accel, band_backend)
-    fitness, rmse, n_corr = _metrics(valid, d2, src_mask)
+    fitness, rmse, n_corr = _metrics(valid, d2, src_mask, axis_name)
 
     q = tgt_pts[j]
     d = q - p                                                    # (N, 3)
@@ -200,6 +211,8 @@ def gicp_step(
     MG = jnp.einsum("nij,njk->nik", M, G)                        # (N, 3, 6)
     H = jnp.einsum("nij,nik,n->jk", G, MG, w)                    # (6, 6)
     g = jnp.einsum("nij,nik,nk,n->j", G, M, d, w)                # (6,)
+    if axis_name is not None:  # reduce normal equations over the point shards
+        H, g = jax.lax.psum((H, g), axis_name)
 
     # Levenberg damping for rank-deficient cases (few/ill-placed points)
     lam = 1e-6 * (jnp.trace(H) / 6.0 + 1.0)
@@ -218,7 +231,9 @@ def gicp_step(
 def registration_gicp(source, target, max_corr_dist, T_init, corr_method="auto", **kw):
     """GICP wrapper resolving the correspondence backend at trace time:
     'band_pallas' (TPU default — fused VMEM band sweep), 'band' (XLA band
-    sweep, vmap-safe), 'grid' (CPU default), or 'brute'."""
+    sweep, vmap-safe), 'grid' (CPU default), or 'brute'.  ``axis_name=...``
+    (kw) enables the point-sharded mode: source rows are a shard of that mesh
+    axis and all reductions psum over it (parallel.point_sharding)."""
     if corr_method == "auto":
         corr_method = "band_pallas" if jax.default_backend() == "tpu" else "grid"
     return _registration_gicp(source, target, max_corr_dist, T_init,
@@ -226,7 +241,7 @@ def registration_gicp(source, target, max_corr_dist, T_init, corr_method="auto",
 
 
 @functools.partial(
-    jax.jit, static_argnames=("loss", "max_iteration", "corr_method")
+    jax.jit, static_argnames=("loss", "max_iteration", "corr_method", "axis_name")
 )
 def _registration_gicp(
     source: Cloud,
@@ -239,6 +254,7 @@ def _registration_gicp(
     relative_fitness: float = 1e-6,
     relative_rmse: float = 1e-6,
     corr_method: str = "grid",
+    axis_name: str | None = None,
 ) -> RegistrationResult:
     """GICP with ICPConvergenceCriteria semantics (2_...py:160-162).
 
@@ -256,6 +272,7 @@ def _registration_gicp(
             source, target, max_dist, T0, loss, gm_k, max_iteration,
             relative_fitness, relative_rmse,
             "pallas" if corr_method == "band_pallas" else "xla",
+            axis_name=axis_name,
         )
     src_cov = regularize_covariances(source.covariances)
     tgt_cov = regularize_covariances(target.covariances)
@@ -277,7 +294,7 @@ def _registration_gicp(
             source.points, src_cov, source.mask,
             target.points, tgt_cov, target.mask,
             T, max_dist, loss=loss, gm_k=gm_k, accel=accel,
-            band_backend=band_backend,
+            band_backend=band_backend, axis_name=axis_name,
         )
         # Open3D convergence: absolute deltas of fitness and rmse below eps
         done = (jnp.abs(fit - fit_prev) < relative_fitness) & (
@@ -294,7 +311,7 @@ def _registration_gicp(
         source.points, source.mask, target.points, target.mask, T, max_dist,
         accel, band_backend,
     )
-    fitness, rmse, n_corr = _metrics(valid, d2, source.mask)
+    fitness, rmse, n_corr = _metrics(valid, d2, source.mask, axis_name)
     return RegistrationResult(T, fitness, rmse, n_corr, iters)
 
 
@@ -310,6 +327,7 @@ def _gicp_band_sorted(
     relative_rmse: float,
     backend: str,
     q_tile: int = 1024,
+    axis_name: str | None = None,
 ):
     """Band-accelerated GICP that LIVES in sorted query space.
 
@@ -368,7 +386,7 @@ def _gicp_band_sorted(
 
     def step(T):
         p, m, d, d2, valid = corr_step(T)
-        fitness, rmse, n_corr = _metrics(valid, d2, src_mask_s)
+        fitness, rmse, n_corr = _metrics(valid, d2, src_mask_s, axis_name)
 
         R = se3.rot(T)
         u = src_n_s @ R.T                                    # R n_p, (N, 3)
@@ -386,6 +404,8 @@ def _gicp_band_sorted(
         H = jnp.einsum("nij,nik,n->jk", G, MG, w)
         g = jnp.einsum("nij,nik,nk,n->j", G, M, d, w)
 
+        if axis_name is not None:  # point-sharded normal equations
+            H, g = jax.lax.psum((H, g), axis_name)
         lam = 1e-6 * (jnp.trace(H) / 6.0 + 1.0)
         H = H + lam * jnp.eye(6, dtype=H.dtype)
         xi = -solve6_cholesky(H, g)
@@ -410,7 +430,7 @@ def _gicp_band_sorted(
     T, _, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
 
     _, _, _, d2, valid = corr_step(T)
-    fitness, rmse, n_corr = _metrics(valid, d2, src_mask_s)
+    fitness, rmse, n_corr = _metrics(valid, d2, src_mask_s, axis_name)
     return RegistrationResult(T, fitness, rmse, n_corr, iters)
 
 

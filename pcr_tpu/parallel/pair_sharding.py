@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..models import fgr as fgr_mod
 from ..models import gicp as gicp_mod
 from ..models import multiscale as ms_mod
 from ..utils.cloud import Cloud
@@ -52,6 +53,53 @@ def sharded_mgicp(mesh: Mesh, src: Cloud, tgt: Cloud, T_init, **kw):
         return batched_mgicp(src_shard, tgt_shard, T_shard, **kw)
 
     return run(src, tgt, T_init)
+
+
+def sharded_fgr(mesh: Mesh, src: Cloud, tgt: Cloud, feat_src, feat_tgt,
+                seeds, opts, n_trials: int = 16384):
+    """shard_map of stage-1 FGR over the 'pairs' axis: each device runs its
+    shard of the circuit's pairs through the vmapped match/tuple-test/GNC
+    (SURVEY §2.4 pair-parallelism row — the reference's hottest serial loop,
+    1_...py:134-147).  Pair batch must be divisible by the mesh axis size."""
+    n_dev = mesh.shape["pairs"]
+    if seeds.shape[0] % n_dev != 0:
+        raise ValueError(f"pair batch {seeds.shape[0]} not divisible by mesh axis {n_dev}")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("pairs"),) * 5,
+        out_specs=P("pairs"),
+        check_vma=False,  # scan carries inside knn are shard-local constants
+    )
+    def run(src_s, tgt_s, fs_s, ft_s, seed_s):
+        return fgr_mod.batched_registration_fgr(
+            src_s, tgt_s, fs_s, ft_s, opts, seed_s, n_trials)
+
+    return run(src, tgt, feat_src, feat_tgt, jnp.asarray(seeds))
+
+
+def sharded_fgr_features(mesh: Mesh, clouds: Cloud, voxel_size):
+    """shard_map of per-scan FGR preprocessing (normals + FPFH) over 'pairs':
+    the B+1 scans of a pair chunk are featurized one-per-device-slot, then the
+    stacked result is returned replicated for src/tgt slicing.  Scan batch
+    must be divisible by the mesh axis size (pad by repeating a scan)."""
+    n_dev = mesh.shape["pairs"]
+    if clouds.points.shape[0] % n_dev != 0:
+        raise ValueError(
+            f"scan batch {clouds.points.shape[0]} not divisible by mesh axis {n_dev}")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("pairs"),),
+        out_specs=P("pairs"),
+        check_vma=False,
+    )
+    def run(c_s):
+        return fgr_mod.batched_fgr_features(c_s, voxel_size)
+
+    return run(clouds)
 
 
 def sharded_batched_gicp(mesh: Mesh, src: Cloud, tgt: Cloud, T_init, max_corr_dist, **kw):

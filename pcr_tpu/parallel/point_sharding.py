@@ -98,3 +98,63 @@ def sharded_knn(mesh: Mesh, query, ref, ref_mask, k: int, *,
         )
 
     return run(query, ref, ref_mask)
+
+
+def point_sharded_gicp(mesh: Mesh, source, target, max_corr_dist, T_init, *,
+                       axis: str = "points", **kw):
+    """Full GICP with the SOURCE cloud row-sharded over ``axis`` — the
+    point-sharding consumer SURVEY §2.4 mandates for TLS-scale pairs
+    (Courtyard 240k points): every device runs the whole
+    correspondence/Gauss-Newton ``while_loop`` on its query shard, the
+    normal equations (6x6 + 6) and the metric sums are psum-reduced each
+    iteration, and every device applies the identical pose update.
+
+    Traffic per iteration is ~200 bytes of reductions over ICI — no point
+    data moves after the initial shard.  Target stays replicated (the band
+    index is built per-device over the full reference rows).
+
+    Source capacity must be divisible by the mesh axis size.  Returns a
+    replicated RegistrationResult equal (up to psum summation order) to
+    ``models.gicp.registration_gicp`` on one device.
+    """
+    from ..models import gicp as gicp_mod
+
+    n_dev = mesh.shape[axis]
+    if source.capacity % n_dev != 0:
+        raise ValueError(
+            f"source capacity {source.capacity} not divisible by mesh axis {n_dev}")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(src_shard, tgt, T0):
+        return gicp_mod.registration_gicp(
+            src_shard, tgt, max_corr_dist, T0, axis_name=axis, **kw)
+
+    return run(source, target, jnp.asarray(T_init, jnp.float32))
+
+
+def point_sharded_multiscale_gicp(mesh: Mesh, src_pyr, tgt_pyr, T_init, *,
+                                  n_scales: int = 5, iterations: int = 100,
+                                  loss: str = "l1", axis: str = "points", **kw):
+    """M-GICP over precomputed pyramids with every scale's GICP point-sharded
+    (the multi-chip large-pair registration path; pipeline.run_pair routes
+    here when a 'points' mesh is given).  Pyramid scale capacities are bucket
+    multiples (utils.cloud.plan_scale_caps), hence divisible by 2/4/8-device
+    meshes."""
+    from ..models import multiscale as ms_mod
+
+    scales = ms_mod.create_scales(n_scales)
+    dists = ms_mod.max_correspondence_distances(scales)
+    T = jnp.asarray(T_init, jnp.float32)
+    result = None
+    for s in range(n_scales):
+        result = point_sharded_gicp(
+            mesh, src_pyr[s], tgt_pyr[s], jnp.float32(dists[s]), T,
+            axis=axis, loss=loss, max_iteration=iterations, **kw)
+        T = result.transformation
+    return result

@@ -90,17 +90,29 @@ class PairMetrics:
                  rmse=float(rmse), seconds=float(seconds), **extra)
         )
 
-    def save(self, path):
+    def save(self, path, stage: str | None = None):
+        """Write rows as jsonl; ``stage`` filters so each stage's file carries
+        only its own rows (a shared metrics object in ``full`` used to mix fgr
+        rows into stage2.jsonl, mis-aggregating any consumer)."""
+        rows = self.rows if stage is None else [
+            r for r in self.rows if r["stage"] == stage]
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as fh:
-            for row in self.rows:
+            for row in rows:
                 fh.write(json.dumps(row) + "\n")
 
-    def success_rate(self, gate: float) -> float:
-        if not self.rows:
+    def success_rate(self, gate: float, key: str = "fitness",
+                     stage: str | None = None) -> float:
+        """Fraction of pairs whose ``key`` exceeds ``gate``.  For stage 2 use
+        key='gate_fitness' — full-cloud fitness at 2*voxel, the measurement
+        the retry ladder gates on (matching the coarse-to-fine gate intent of
+        ALL_FUNCTIONS.py:369) — NOT the finest-scale fitness at 0.1 m, which
+        reads misleadingly low on sparse outdoor scans."""
+        rows = [r for r in self.rows
+                if (stage is None or r["stage"] == stage) and key in r]
+        if not rows:
             return 0.0
-        ok = sum(1 for r in self.rows if r["fitness"] > gate)
-        return ok / len(self.rows)
+        return sum(1 for r in rows if r[key] > gate) / len(rows)
 
 
 def _load_circuit_clouds(cfg: PipelineConfig, indices=None) -> list[cloud_mod.Cloud]:
@@ -108,12 +120,19 @@ def _load_circuit_clouds(cfg: PipelineConfig, indices=None) -> list[cloud_mod.Cl
 
 
 def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
-                   metrics: PairMetrics | None = None) -> np.ndarray:
+                   metrics: PairMetrics | None = None, mesh=None) -> np.ndarray:
     """FGR over all circuit pairs; returns (n, 4, 4) relative poses and writes
-    them in the reference layout."""
+    them in the reference layout.
+
+    With cfg.batch_size > 1 (or a mesh) pairs run in vmapped chunks whose B+1
+    scans are featurized once each; with ``mesh`` the chunk is shard_mapped
+    over the 'pairs' axis (SURVEY §2.4 pair parallelism for the reference's
+    hottest serial loop, 1_...py:134-147)."""
     n = n or poses_io.CIRCUIT_SIZES[cfg.dataset]
     clouds = clouds or _load_circuit_clouds(cfg, range(n))
     metrics = metrics if metrics is not None else PairMetrics()
+    if cfg.batch_size > 1 or mesh is not None:
+        return _run_stage1_fgr_batched(cfg, clouds, n, metrics, mesh)
     # Per-cloud FGR features (normals + FPFH — the reference's hottest kernel,
     # 1_...py:44-50) are computed ONCE per scan and shared between the two
     # adjacent pairs each scan serves, mirroring stage 2's pyramid cache.
@@ -149,7 +168,8 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
         if drained % 50 == 0:  # crash-resumable partial checkpoint
             os.makedirs(os.path.dirname(ckpt), exist_ok=True)
             np.save(ckpt, out[:drained])
-            metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"))
+            metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"),
+                         stage="fgr")
 
     for k, (src_i, tgt_i) in enumerate(circuit_pairs(n)):
         t0 = time.time()
@@ -169,8 +189,78 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
         drain_one()
     poses = out
     poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR"), poses)
-    metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"))
+    metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"),
+                 stage="fgr")
     return poses
+
+
+def _run_stage1_fgr_batched(cfg: PipelineConfig, clouds, n: int,
+                            metrics: PairMetrics, mesh) -> np.ndarray:
+    """Pair-parallel stage 1.  A chunk of B consecutive circuit pairs touches
+    exactly B+1 consecutive-mod-n scans (the wraparound pair's source is scan
+    0, which follows scan n-1 in circuit order), so the chunk featurizes its
+    scans once each (vmapped — or shard_mapped over 'pairs') and registers as
+    ONE batched FGR call; src/tgt per-pair views are slices of the scan stack.
+    Keeps the serial runner's once-per-scan FPFH economy while filling the
+    chip/mesh with a batch."""
+    B = max(cfg.batch_size, 1)
+    if mesh is not None:
+        ndev = mesh.shape["pairs"]
+        B = -(-max(B, ndev) // ndev) * ndev
+    opts = fgr_mod.default_options(clouds[0], clouds[0], cfg.voxel_size)
+    out = np.zeros((n, 4, 4))
+    ckpt = os.path.join(cfg.out_dir("metrics"), "stage1_partial.npy")
+    for start in range(0, n, B):
+        t0 = time.time()
+        m = min(B, n - start)  # real pairs in this chunk
+        scan_ids = [(start + j) % n for j in range(m + 1)]
+        stacked = cloud_mod.stack_clouds([clouds[i] for i in scan_ids])
+        if mesh is not None:
+            ndev = mesh.shape["pairs"]
+            pad_s = (-len(scan_ids)) % ndev
+            if pad_s:  # feature shard_map needs a divisible scan batch
+                stacked = jax.tree.map(
+                    lambda x: jnp.concatenate(
+                        [x, jnp.repeat(x[-1:], pad_s, axis=0)]), stacked)
+            feat_clouds, feats = pair_sharding.sharded_fgr_features(
+                mesh, stacked, cfg.voxel_size)
+            # replicate the scan-feature stack (all-gather over ICI) so the
+            # src/tgt per-pair gather below is unambiguous; sharded_fgr then
+            # re-slices its 'pairs' shard locally.
+            from .parallel import mesh as mesh_mod
+            feat_clouds, feats = jax.tree.map(
+                lambda x: jax.device_put(x, mesh_mod.replicated(mesh)),
+                (feat_clouds, feats))
+        else:
+            feat_clouds, feats = fgr_mod.batched_fgr_features(
+                stacked, cfg.voxel_size)
+        # pair j of the chunk: src = scan slot j+1, tgt = slot j; the tail
+        # chunk pads to B by repeating its last pair (dropped after fetch).
+        src_pos = jnp.asarray(np.minimum(np.arange(B) + 1, m))
+        tgt_pos = jnp.asarray(np.minimum(np.arange(B), m - 1))
+        src = jax.tree.map(lambda x: x[src_pos], feat_clouds)
+        tgt = jax.tree.map(lambda x: x[tgt_pos], feat_clouds)
+        fs, ft = feats[src_pos], feats[tgt_pos]
+        seeds = jnp.asarray(
+            [cfg.fgr_seed + scan_ids[min(j + 1, m)] for j in range(B)],
+            jnp.int32)
+        if mesh is not None:
+            res = pair_sharding.sharded_fgr(mesh, src, tgt, fs, ft, seeds, opts)
+        else:
+            res = fgr_mod.batched_registration_fgr(src, tgt, fs, ft, opts, seeds)
+        T = np.asarray(res.transformation, np.float64)
+        fit, rmse = np.asarray(res.fitness), np.asarray(res.inlier_rmse)
+        dt = (time.time() - t0) / m
+        for j in range(m):
+            out[start + j] = T[j]
+            metrics.add("fgr", scan_ids[j + 1], scan_ids[j],
+                        float(fit[j]), float(rmse[j]), dt)
+        os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+        np.save(ckpt, out[: start + m])  # crash-resumable partial checkpoint
+    poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR"), out)
+    metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"),
+                 stage="fgr")
+    return out
 
 
 def _retry_pair(cfg: PipelineConfig, src_c, tgt_c, res0, src_pyr, tgt_pyr,
@@ -202,6 +292,36 @@ def _retry_pair(cfg: PipelineConfig, src_c, tgt_c, res0, src_pyr, tgt_pyr,
     return best_res, status
 
 
+
+def _annotate_gate_fitness(cfg: PipelineConfig, clouds, pairs, poses,
+                           metrics: PairMetrics) -> np.ndarray:
+    """Full-cloud fitness at 2*voxel for every refined pair — the measurement
+    the retry ladder gates on and the success-rate the summary should report
+    (the reference's 0.40 gate applies to coarse-to-fine fitness,
+    ALL_FUNCTIONS.py:369 — NOT finest-scale fitness at 0.1 m).  Batched
+    band-NN evaluation; each pair's metrics row gains a ``gate_fitness``."""
+    eval_dist = 2 * cfg.voxel_size
+    n = len(pairs)
+    B = max(cfg.batch_size, 4)
+    gate = np.zeros(n)
+    for start in range(0, n, B):
+        idx = list(range(start, min(start + B, n)))
+        pad_idx = idx + [idx[-1]] * (B - len(idx))
+        src = cloud_mod.stack_clouds([clouds[pairs[k][0]] for k in pad_idx])
+        tgt = cloud_mod.stack_clouds([clouds[pairs[k][1]] for k in pad_idx])
+        T = jnp.asarray(np.asarray(poses)[pad_idx], jnp.float32)
+        fit, _, _ = eval_mod.evaluate_registration_batch(src, tgt, eval_dist, T)
+        gate[idx] = np.asarray(fit)[: len(idx)]
+    row_for = {}
+    for i, r in enumerate(metrics.rows):
+        if r["stage"] == "mgicp":
+            row_for[(r["src"], r["tgt"])] = i
+    for k, (s, t) in enumerate(pairs):
+        if (s, t) in row_for:
+            metrics.rows[row_for[(s, t)]]["gate_fitness"] = float(gate[k])
+    return gate
+
+
 def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
                      clouds=None, n: int | None = None, mesh=None,
                      metrics: PairMetrics | None = None) -> np.ndarray:
@@ -217,6 +337,9 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
     metrics = metrics if metrics is not None else PairMetrics()
     pairs = circuit_pairs(n)
     B = cfg.batch_size
+    if mesh is not None:  # pair batch must fill the 'pairs' mesh axis
+        ndev = mesh.shape["pairs"]
+        B = -(-max(B, ndev) // ndev) * ndev
     caps = cfg.scale_capacities
     if caps == "auto":
         caps = cloud_mod.plan_scale_caps(clouds, ms_mod.create_scales(cfg.mgicp_scales))
@@ -263,7 +386,8 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
             if drained % 50 == 0:  # crash-resumable partial checkpoint
                 os.makedirs(os.path.dirname(ckpt), exist_ok=True)
                 np.save(ckpt, out[:drained])
-                metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"))
+                metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"),
+                             stage="mgicp")
 
         for k, (s, t) in enumerate(pairs):
             t0 = time.time()
@@ -292,12 +416,14 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
                 status=status)
             for key in [key for key in pyr_cache if key not in (s, (s + 1) % n)]:
                 del pyr_cache[key]
+        _annotate_gate_fitness(cfg, clouds, pairs, out, metrics)
         poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR_GICP"), out)
         abs_poses = se3.relative_to_absolute(out)
         poses_io.save_absolute_poses(
             cfg.out_dir("absolute_poses_FGR_GICP"), np.asarray(abs_poses)
         )
-        metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"))
+        metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"),
+                 stage="mgicp")
         return out
 
     for start in range(0, n, B):
@@ -327,22 +453,27 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
         for k, (s, t) in enumerate(chunk[: len(chunk) - pad]):
             out[start + k] = T_batch[k]
             metrics.add("mgicp", s, t, fit[k], rmse[k], dt)
+    _annotate_gate_fitness(cfg, clouds, pairs, out, metrics)
     poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR_GICP"), out)
     abs_poses = se3.relative_to_absolute(out)
     poses_io.save_absolute_poses(cfg.out_dir("absolute_poses_FGR_GICP"), np.asarray(abs_poses))
-    metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"))
+    metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"),
+                 stage="mgicp")
     return out
 
 
 def run_pair(cfg: PipelineConfig, src_i: int, tgt_i: int,
              init: np.ndarray | str = "fgr",
-             metrics: PairMetrics | None = None) -> dict:
+             metrics: PairMetrics | None = None, point_mesh=None) -> dict:
     """Register ONE scan pair end-to-end: [FGR ->] M-GICP -> info matrix.
 
     The single-pair workflow for datasets whose circuit is incomplete on disk
     (Courtyard ships 2 of 8 scans — SURVEY §0).  ``init``: 'fgr' runs stage-1
     FGR first; 'fixture' derives the seed from the shipped absolute
     FGR_GICP fixtures (inv(A_tgt) @ A_src); or a 4x4 array.
+    ``point_mesh``: a 'points' mesh — the refinement runs with source rows
+    sharded across its devices (parallel.point_sharding, SURVEY §2.4
+    within-pair sharding for TLS-scale clouds).
     Returns {"T", "fitness", "rmse", "info", "seconds", ...}.
     """
     metrics = metrics if metrics is not None else PairMetrics()
@@ -366,11 +497,24 @@ def run_pair(cfg: PipelineConfig, src_i: int, tgt_i: int,
     if caps == "auto":
         caps = cloud_mod.plan_scale_caps(clouds, ms_mod.create_scales(cfg.mgicp_scales))
     t1 = time.time()
-    res = ms_mod.multiscale_gicp(
-        src_c, tgt_c, jnp.asarray(T0, jnp.float32),
-        n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations,
-        scale_capacities=caps,
-    )
+    if point_mesh is not None:
+        from .parallel import point_sharding
+
+        pyr_s = ms_mod.build_pyramid(src_c, n_scales=cfg.mgicp_scales,
+                                     scale_capacities=caps)
+        pyr_t = ms_mod.build_pyramid(tgt_c, n_scales=cfg.mgicp_scales,
+                                     scale_capacities=caps)
+        res = point_sharding.point_sharded_multiscale_gicp(
+            point_mesh, pyr_s, pyr_t, jnp.asarray(T0, jnp.float32),
+            n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations,
+        )
+        out["point_mesh"] = int(point_mesh.shape["points"])
+    else:
+        res = ms_mod.multiscale_gicp(
+            src_c, tgt_c, jnp.asarray(T0, jnp.float32),
+            n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations,
+            scale_capacities=caps,
+        )
     T = np.asarray(res.transformation, np.float64)
     out.update(
         T=T.tolist(), fitness=float(res.fitness), rmse=float(res.inlier_rmse),
@@ -434,9 +578,51 @@ def run_stage3_global(cfg: PipelineConfig, relative_poses: np.ndarray | None = N
             edge_prune_threshold=0.25,
         )
         results["pose_graph"] = np.asarray(out.nodes, np.float64)
+        pruned_edges = int((~np.asarray(out.edge_mask)).sum())
     for name, poses in results.items():
         poses_io.save_absolute_poses(cfg.out_dir(f"absolute_poses_{name}"), poses)
+    # Quantify every method against the measured edges (VERDICT r2 item 3:
+    # stage 3 must SHOW improvement, not just run) — written beside the poses.
+    diag = {"raw_chain": _consistency_summary(
+        np.asarray(se3.relative_to_absolute(relative_poses)), relative_poses)}
+    for name, poses in results.items():
+        diag[name] = _consistency_summary(poses, relative_poses)
+    if "pose_graph" in results:
+        diag["pose_graph"]["pruned_edges"] = pruned_edges
+    p = os.path.join(cfg.out_dir("metrics"), "stage3_consistency.json")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as fh:
+        json.dump(diag, fh, indent=2)
     return results
+
+
+def _consistency_summary(absolute_poses, relative_poses) -> dict:
+    c = eval_mod.circuit_edge_consistency(absolute_poses, relative_poses)
+    return {k: v for k, v in c.items() if isinstance(v, float)}
+
+
+def evaluate_circuit(clouds, relative_poses, max_dist, batch: int = 4):
+    """Per-pair fitness/RMSE sweep of a circuit's relative poses — the
+    reference's ``calculate_RMSE_and_fitness`` (ALL_FUNCTIONS.py:801-824):
+    evaluate_registration(clouds[i+1] -> clouds[i], max_dist, rel[i]) for
+    every pair incl. the wraparound closure pair.  ``relative_poses`` may come
+    from a refined trajectory via ``se3.absolute_to_relative_circuit`` to rank
+    stage-3 methods, as 3_...py:368-400 does against groundtruth.
+    Returns (fitness (n,), rmse (n,)) numpy arrays; batched band-NN."""
+    n = len(relative_poses)
+    pairs = circuit_pairs(n)
+    fit = np.zeros(n)
+    rmse = np.zeros(n)
+    for start in range(0, n, batch):
+        idx = list(range(start, min(start + batch, n)))
+        pad_idx = idx + [idx[-1]] * (batch - len(idx))
+        src = cloud_mod.stack_clouds([clouds[pairs[k][0]] for k in pad_idx])
+        tgt = cloud_mod.stack_clouds([clouds[pairs[k][1]] for k in pad_idx])
+        T = jnp.asarray(np.asarray(relative_poses)[pad_idx], jnp.float32)
+        f, r, _ = eval_mod.evaluate_registration_batch(src, tgt, max_dist, T)
+        fit[idx] = np.asarray(f)[: len(idx)]
+        rmse[idx] = np.asarray(r)[: len(idx)]
+    return fit, rmse
 
 
 def evaluate_against(poses: np.ndarray, reference: np.ndarray):

@@ -257,6 +257,17 @@ def absolute_to_relative(T_abs: jnp.ndarray) -> jnp.ndarray:
     return compose_ref(T_abs[1:], invert(T_abs[:-1]))
 
 
+def absolute_to_relative_circuit(T_abs: jnp.ndarray) -> jnp.ndarray:
+    """Implied CIRCUIT relatives of a trajectory, incl. the wraparound edge:
+    rel[k] = inv(A_k) @ A_{(k+1)%n}, mapping frame k+1 -> k (the fixture
+    files' ``pose_{k+1}_{k}`` convention).  Standard composition — used to
+    rank refined stage-3 trajectories against the measured relative poses
+    (the intrinsic form of 3_...py:368-400's groundtruth comparison)."""
+    xp = _ns(T_abs)
+    A_next = xp.concatenate([T_abs[1:], T_abs[:1]])
+    return compose(invert(T_abs), A_next)
+
+
 def loop_closure_error(T_rel: jnp.ndarray) -> jnp.ndarray:
     """Closure pose of the circuit (ALL_FUNCTIONS.py:476-497).
 

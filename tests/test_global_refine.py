@@ -292,3 +292,62 @@ def test_pose_graph_prunes_bad_loop_edge(rng):
     assert not bool(np.asarray(out.edge_mask)[-1])  # pruned
     # nodes barely moved (odometry-only solution retained)
     np.testing.assert_allclose(np.asarray(out.nodes), np.asarray(graph.nodes), atol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Stage-3 quantification on the shipped fixtures (VERDICT r2 item 3): refined
+# trajectories must BEAT the raw chain on edge consistency, not just run.
+# ---------------------------------------------------------------------------
+
+HAVE_REF2 = __import__("os").path.isdir(
+    __import__("os").path.join(poses_io.REFERENCE_ROOT, "relative_poses_FGR_GICP"))
+
+
+@pytest.mark.skipif(not HAVE_REF2, reason="reference fixtures not mounted")
+def test_stage3_closed_forms_beat_raw_chain_nclt():
+    """NCLT FGR_GICP fixtures: the raw chain dumps its whole 40.82 m closure
+    on the wraparound edge; LUM/SLERP+LUM must spread it to centimeters."""
+    from pcr_tpu.models import evaluate as eval_mod
+
+    rel = np.asarray(poses_io.load_reference_relative("FGR_GICP", "NCLT"))
+    raw = eval_mod.circuit_edge_consistency(se3.relative_to_absolute(rel), rel)
+    assert raw["dt_max_m"] > 30.0          # the fixtures' own closure (~40.8)
+    assert raw["dt_closure_edge_m"] == raw["dt_max_m"]
+
+    lum = eval_mod.circuit_edge_consistency(
+        np.asarray(closed_form.refine_lum(rel)), rel)
+    assert lum["dt_max_m"] < raw["dt_max_m"] / 10
+    assert lum["dt_mean_m"] < 0.5          # ~45 mm expected for 901 edges
+
+    sl = eval_mod.circuit_edge_consistency(
+        np.asarray(closed_form.refine_slerp_lum(rel)), rel)
+    assert sl["dt_max_m"] < raw["dt_max_m"] / 10
+    # SLERP also spreads the 0.32-Frobenius rotation closure across edges
+    assert sl["dR_max"] < raw["dR_max"] / 10
+
+
+@pytest.mark.skipif(not HAVE_REF2, reason="reference fixtures not mounted")
+def test_stage3_pose_graph_beats_raw_chain_facade():
+    """Facade FGR_GICP fixtures (closure 0.101 m — small enough that the line
+    process keeps the loop edge): pose-graph LM must distribute it and prune
+    nothing."""
+    from pcr_tpu.models import evaluate as eval_mod
+
+    rel = np.asarray(poses_io.load_reference_relative("FGR_GICP", "Facade"))
+    n = len(rel)
+    raw = eval_mod.circuit_edge_consistency(se3.relative_to_absolute(rel), rel)
+    assert 0.05 < raw["dt_max_m"] < 0.2    # the survey's ~0.101 m closure
+
+    infos = np.tile(40000.0 * np.eye(6, dtype=np.float32), (n, 1, 1))
+    graph = pose_graph.build_circuit_graph(
+        np.asarray(se3.relative_to_absolute(rel)), rel, infos)
+    out = pose_graph.global_optimization(
+        graph, max_correspondence_distance=0.2, edge_prune_threshold=0.25)
+    assert int((~np.asarray(out.edge_mask)).sum()) == 0
+    pg = eval_mod.circuit_edge_consistency(np.asarray(out.nodes), rel)
+    # LM balances rot+trans residuals jointly, so the spread is not the
+    # closed-form equal split (measured: closure 0.1013 -> 0.0102, max edge
+    # 0.0727, mean 0.0213) — assert the two robust facts: the closure edge
+    # shrinks ~10x and the worst edge strictly improves.
+    assert pg["dt_closure_edge_m"] < raw["dt_max_m"] / 5
+    assert pg["dt_max_m"] < raw["dt_max_m"] * 0.8

@@ -110,3 +110,99 @@ def test_sharded_knn_matches_single(rng):
     # indices may differ only on exact-distance ties; require distance equality
     same = np.asarray(i_s) == np.asarray(i_1)
     assert same.mean() > 0.999
+
+
+def _fgr_pair_batch(rng, B=8, n=400, cap=512, voxel=0.2):
+    """B synthetic FGR-ready pairs: per-scan features from fgr_features, the
+    stage-1 preprocessing (normals + FPFH)."""
+    from pcr_tpu.models import fgr as fgr_mod
+
+    srcs, tgts, fss, fts = [], [], [], []
+    for b in range(B):
+        pts = rng.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+        xi = (rng.normal(size=6) * np.array([0.05] * 3 + [0.2] * 3)).astype(np.float32)
+        T_gt = np.asarray(se3.se3_exp(jnp.asarray(xi)))
+        src_c = cloud.from_numpy(pts, capacity=cap)
+        tgt_c = cloud.from_numpy(
+            (pts @ T_gt[:3, :3].T + T_gt[:3, 3]).astype(np.float32), capacity=cap)
+        s, fs = fgr_mod.fgr_features(src_c, voxel)
+        t, ft = fgr_mod.fgr_features(tgt_c, voxel)
+        srcs.append(s); tgts.append(t); fss.append(fs); fts.append(ft)
+    return (cloud.stack_clouds(srcs), cloud.stack_clouds(tgts),
+            jnp.stack(fss), jnp.stack(fts))
+
+
+def test_sharded_fgr_matches_batched(rng):
+    """Stage-1 pair parallelism (SURVEY §2.4): shard_map over 'pairs' must
+    reproduce the single-device vmapped FGR."""
+    from pcr_tpu.models import fgr as fgr_mod
+
+    src, tgt, fs, ft = _fgr_pair_batch(rng, B=8)
+    opts = fgr_mod.FgrOptions(
+        maximum_correspondence_distance=0.4, iteration_number=64,
+        maximum_tuple_count=256)
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    res_b = fgr_mod.batched_registration_fgr(src, tgt, fs, ft, opts, seeds,
+                                             n_trials=4096)
+    m = mesh_mod.make_pair_mesh(8)
+    res_s = pair_sharding.sharded_fgr(m, src, tgt, fs, ft, seeds, opts,
+                                      n_trials=4096)
+    np.testing.assert_allclose(
+        np.asarray(res_s.transformation), np.asarray(res_b.transformation),
+        atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res_s.fitness), np.asarray(res_b.fitness), atol=1e-4)
+
+
+def test_sharded_fgr_features_matches_batched(rng):
+    from pcr_tpu.models import fgr as fgr_mod
+
+    pts = [rng.uniform(-3, 3, size=(300, 3)).astype(np.float32) for _ in range(8)]
+    stacked = cloud.stack_clouds([cloud.from_numpy(p, capacity=512) for p in pts])
+    c_b, f_b = fgr_mod.batched_fgr_features(stacked, 0.2)
+    m = mesh_mod.make_pair_mesh(8)
+    c_s, f_s = pair_sharding.sharded_fgr_features(m, stacked, 0.2)
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_b), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(c_s.normals), np.asarray(c_b.normals), atol=1e-5)
+
+
+def test_point_sharded_gicp_matches_single(rng):
+    """VERDICT r2 item 2: the point-sharding CONSUMER — a full GICP loop with
+    source rows sharded over 'points' must match single-device registration."""
+    from pcr_tpu.parallel import point_sharding
+
+    src, tgt, T0, T_gt = make_pair_batch(rng, B=1, n=900, cap=1024)
+    src1 = jax.tree.map(lambda x: x[0], src)
+    tgt1 = jax.tree.map(lambda x: x[0], tgt)
+    res1 = gicp.registration_gicp(src1, tgt1, 0.3, jnp.asarray(T0[0]),
+                                  corr_method="brute", max_iteration=10)
+    mesh = mesh_mod.make_point_mesh(8)
+    res8 = point_sharding.point_sharded_gicp(
+        mesh, src1, tgt1, 0.3, T0[0], corr_method="brute", max_iteration=10)
+    np.testing.assert_allclose(
+        np.asarray(res8.transformation), np.asarray(res1.transformation),
+        atol=1e-5)
+    np.testing.assert_allclose(float(res8.fitness), float(res1.fitness), atol=1e-5)
+    _, dt = se3.pose_errors(np.asarray(res8.transformation), T_gt[0])
+    assert float(dt) < 0.01
+
+
+def test_point_sharded_multiscale_matches_single(rng):
+    from pcr_tpu.models import multiscale as ms_mod
+    from pcr_tpu.parallel import point_sharding
+
+    src, tgt, T0, T_gt = make_pair_batch(rng, B=1, n=900, cap=1024)
+    src1 = jax.tree.map(lambda x: x[0], src)
+    tgt1 = jax.tree.map(lambda x: x[0], tgt)
+    caps = (256, 1024)
+    pyr_s = ms_mod.build_pyramid(src1, n_scales=2, scale_capacities=caps)
+    pyr_t = ms_mod.build_pyramid(tgt1, n_scales=2, scale_capacities=caps)
+    res1 = ms_mod.multiscale_gicp_pyramids(
+        pyr_s, pyr_t, jnp.asarray(T0[0]), n_scales=2, iterations=8)
+    mesh = mesh_mod.make_point_mesh(8)
+    res8 = point_sharding.point_sharded_multiscale_gicp(
+        mesh, pyr_s, pyr_t, T0[0], n_scales=2, iterations=8)
+    np.testing.assert_allclose(
+        np.asarray(res8.transformation), np.asarray(res1.transformation),
+        atol=5e-5)
