@@ -1,13 +1,19 @@
-"""NCLT full-circuit evidence report (VERDICT r1 item 1).
+"""NCLT full-circuit evidence report (VERDICT r1 item 1, r2 items 3/5).
 
 Reads this repo's own end-to-end outputs (outputs/<stage>/NCLT) and the
 reference fixtures, and writes outputs/NCLT_summary.json with:
   * stage-1/2 per-pair agreement vs the shipped fixture poses,
   * circuit closure errors (reference chain convention) per stage vs the
     fixtures' own closure (BASELINE.md: FGR 104.39 m -> M-GICP 40.82 m),
-  * stage-3 trajectories for all four methods + cross-method agreement.
+  * stage-3 trajectories for all four methods, per-method edge-consistency
+    (did refinement BEAT the raw chain) and — with --sweep — the reference's
+    per-pair fitness/RMSE sweep under each refined trajectory
+    (calculate_RMSE_and_fitness, ALL_FUNCTIONS.py:801-824; needs the scans
+    on disk and a device, so it is opt-in),
+  * stage-2 success rate at the retry gate's full-cloud measurement
+    (gate_fitness) alongside the finest-scale rate.
 
-Usage: python benchmarks/nclt_report.py [output_root]
+Usage: python benchmarks/nclt_report.py [output_root] [--sweep]
 """
 
 import json
@@ -41,7 +47,7 @@ def agreement(ours, ref):
     }
 
 
-def main(root="outputs"):
+def main(root="outputs", sweep=False):
     n = 901
     out = {"n_pairs": n}
 
@@ -59,21 +65,63 @@ def main(root="outputs"):
         "fixture_FGR_GICP": closure(r2),
     }
 
-    # stage-3 trajectories (ours, from our own relative poses)
+    # stage-3 trajectories (ours, from our own relative poses): per-method
+    # edge consistency — did the refinement BEAT the raw chain? — plus the
+    # optional cloud-backed fitness/RMSE sweep (the reference's quantitative
+    # ranking, 3_...py:368-400 / ALL_FUNCTIONS.py:801-824).
+    from pcr_tpu.models import evaluate as eval_mod
+
     methods = {}
     chained = np.asarray(se3.relative_to_absolute(s2))
+    clouds = None
+    if sweep:
+        from pcr_tpu import pipeline
+        from pcr_tpu.utils import cloud as cloud_mod
+
+        clouds = cloud_mod.load_dataset("NCLT", indices=range(n))
+        fit, rmse = pipeline.evaluate_circuit(clouds, s2, max_dist=0.2)
+        out["stage2_sweep"] = {
+            "fitness_mean": float(fit.mean()), "fitness_median": float(np.median(fit)),
+            "rmse_mean": float(rmse.mean()),
+            "success_rate_fitness_gt_0.4": float((fit > 0.4).mean()),
+        }
+    raw_cons = eval_mod.circuit_edge_consistency(chained, s2)
+    out["raw_chain_consistency"] = {
+        k: v for k, v in raw_cons.items() if isinstance(v, float)}
     for m in ("LUM", "SLERP", "SLERP_LUM", "pose_graph"):
         d = os.path.join(root, f"absolute_poses_{m}", "NCLT")
         if not os.path.isdir(d):
             continue
         poses = poses_io.load_absolute_poses(d, n)
         dev = np.linalg.norm(poses[:, :3, 3] - chained[:, :3, 3], axis=1)
+        cons = eval_mod.circuit_edge_consistency(poses, s2)
         methods[m] = {
             "finite": bool(np.isfinite(poses).all()),
             "node0_is_identity": bool(np.abs(poses[0] - np.eye(4)).max() < 1e-6),
             "max_dev_from_chain_m": float(dev.max()),
             "end_node_dev_from_chain_m": float(dev[-1]),
+            "edge_consistency": {
+                k: v for k, v in cons.items() if isinstance(v, float)},
+            "beats_raw_chain_dt_max": bool(cons["dt_max_m"] < raw_cons["dt_max_m"]),
         }
+        if sweep and clouds is not None:
+            from pcr_tpu import pipeline
+
+            rel_m = np.asarray(se3.absolute_to_relative_circuit(poses))
+            fit, rmse = pipeline.evaluate_circuit(clouds, rel_m, max_dist=0.2)
+            methods[m]["sweep"] = {
+                "fitness_mean": float(fit.mean()),
+                "fitness_closure_edge": float(fit[-1]),
+                "rmse_mean": float(rmse.mean()),
+            }
+    # the solver's own pruning decision, persisted by run_stage3_global
+    cons_path = os.path.join(root, "metrics", "NCLT", "stage3_consistency.json")
+    if os.path.exists(cons_path):
+        with open(cons_path) as fh:
+            saved = json.load(fh)
+        if "pose_graph" in saved and "pose_graph" in methods:
+            methods["pose_graph"]["pruned_edges"] = saved["pose_graph"].get(
+                "pruned_edges")
     out["stage3"] = methods
 
     # per-pair metrics summary
@@ -87,10 +135,24 @@ def main(root="outputs"):
             secs = np.asarray([r["seconds"] for r in rows])
             out[f"{stage}_metrics"] = {
                 "pairs": len(rows),
-                "success_rate_fitness_gt_0.4": float((fits > 0.4).mean()),
                 "median_seconds_per_pair": float(np.median(secs)),
                 "total_seconds": float(secs.sum()),
             }
+            if stage == "stage2":
+                # The gate's intended measurement: full-cloud fitness at
+                # 2*voxel (what the retry ladder scores) — NOT finest-scale
+                # fitness at 0.1 m, which reads misleadingly low outdoors
+                # (VERDICT r2 weak #2).
+                gates = np.asarray([r["gate_fitness"] for r in rows
+                                    if "gate_fitness" in r])
+                if gates.size:
+                    out[f"{stage}_metrics"]["success_rate_gate_fitness_gt_0.4"] = (
+                        float((gates > 0.4).mean()))
+                out[f"{stage}_metrics"]["success_rate_finest_scale_gt_0.4"] = (
+                    float((fits > 0.4).mean()))
+            else:
+                out[f"{stage}_metrics"]["success_rate_fitness_gt_0.4"] = (
+                    float((fits > 0.4).mean()))
 
     path = os.path.join(root, "NCLT_summary.json")
     with open(path, "w") as fh:
@@ -100,4 +162,5 @@ def main(root="outputs"):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != "--sweep"]
+    main(*args, sweep="--sweep" in sys.argv[1:])

@@ -289,3 +289,22 @@ def test_stage1_sharded_matches_batched(rng, tmp_path):
     shd = pipeline.run_stage1_fgr(cfg_m, clouds=clouds, n=4,
                                   mesh=mesh_mod.make_pair_mesh(8))
     np.testing.assert_allclose(shd[:3], bat[:3], atol=1e-3)
+
+
+def test_evaluate_circuit_sweep(rng):
+    """calculate_RMSE_and_fitness parity (ALL_FUNCTIONS.py:801-824): perfect
+    relative poses give high fitness on every edge incl. wraparound; a
+    corrupted edge shows up in the sweep."""
+    clouds, gt = _bumpy_clouds(rng, n_clouds=3, n=800, cap=1024, step=0.3)
+    rel = []
+    for k in range(3):
+        s, t = (k + 1) % 3, k
+        rel.append(np.linalg.inv(gt[t]) @ gt[s])
+    rel = np.stack(rel)
+    fit, rmse = pipeline.evaluate_circuit(clouds, rel, max_dist=0.3, batch=2)
+    assert fit.shape == (3,) and rmse.shape == (3,)
+    assert (fit[:2] > 0.5).all(), fit     # consecutive overlapping pairs
+    bad = rel.copy()
+    bad[0][:3, 3] += 5.0                  # corrupt edge 0
+    fit_b, _ = pipeline.evaluate_circuit(clouds, bad, max_dist=0.3, batch=2)
+    assert fit_b[0] < fit[0] * 0.2
