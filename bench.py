@@ -17,7 +17,9 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pcr_jax_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -70,24 +72,32 @@ def bench_per_scale(jax, jnp, np, clouds, scale_caps, init):
 def bench_fgr(jax, jnp, np, clouds, n_pairs):
     """Stage-1 steady state: per-cloud features (shared by 2 pairs) + per-pair
     match/GNC — the reference's hottest kernel (FPFH 200-NN, 1_...py:48-50)."""
+    from pcr_tpu import pipeline
     from pcr_tpu.models import fgr as fgr_mod
+    from pcr_tpu.utils import cloud as cloud_mod
 
     feats = {}
 
     def run(salt):
         # Salted: a global translation of every scan leaves the registration
         # problem identical but defeats any repeated-(executable, args)
-        # shortcut between the warmup and timed runs.
+        # shortcut between the warmup and timed runs.  Per-cloud capacity
+        # bucketing + pair pad-to-max mirrors pipeline.run_stage1_fgr.
         outs = []
         for k in range(n_pairs):
             for i in (k, k + 1):
                 if i not in feats:
                     ci = clouds[i].with_(points=clouds[i].points + salt)
-                    feats[i] = fgr_mod.fgr_features(ci, 0.1)
-            opts = fgr_mod.default_options(clouds[k + 1], clouds[k], 0.1)
+                    cc = cloud_mod.compact(ci, cloud_mod.bucket_capacity(ci))
+                    feats[i] = fgr_mod.fgr_features(cc, 0.1)
+            B = max(feats[k + 1][0].capacity, feats[k][0].capacity)
+            src = cloud_mod.pad_to(feats[k + 1][0], B)
+            tgt = cloud_mod.pad_to(feats[k][0], B)
+            fs = pipeline._pad_feat(feats[k + 1][1], B)
+            ft = pipeline._pad_feat(feats[k][1], B)
+            opts = fgr_mod.default_options(src, tgt, 0.1)
             outs.append(fgr_mod.registration_fgr(
-                feats[k + 1][0], feats[k][0], feats[k + 1][1], feats[k][1],
-                opts, seed=k + 1).transformation)
+                src, tgt, fs, ft, opts, seed=k + 1).transformation)
         return jax.block_until_ready(outs)
 
     run(0.0)       # compile + feature build

@@ -14,8 +14,13 @@ import os as _os
 
 # Persistent XLA compile cache: the big fixed-shape kernels (245k-point FPFH /
 # kNN at Courtyard scale) take minutes to compile on first use; cache them
-# across CLI/pipeline invocations.  Respect the caller's setting if present.
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pcr_jax_cache")
+# across CLI/pipeline invocations.  Lives inside the repo tree (gitignored)
+# rather than /tmp so it survives environment resets between sessions.
+# Respect the caller's setting if present.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                  ".jax_cache"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax as _jax

@@ -155,10 +155,15 @@ def fpfh(
     w_c = jnp.moveaxis(w.reshape(n, n_chunks, nb_chunk), 1, 0)
     d2_c = jnp.moveaxis(d2.reshape(n, n_chunks, nb_chunk), 1, 0)
 
+    # One fused (N, 6) table: TPU row gathers cost per ROW (~30 M rows/s),
+    # not per byte, so gathering points+normals together halves the SPFH
+    # pass's gather rows vs two separate (N, 3) gathers.
+    pn = jnp.concatenate([points, normals], axis=1)
+
     def spfh_chunk(acc, inp):
         idx_k, w_k = inp
-        nb_pts = points[idx_k]
-        nb_normals = normals[idx_k]
+        nb = pn[idx_k]
+        nb_pts, nb_normals = nb[..., :3], nb[..., 3:]
         f1, f2, f3, _ = _pair_features(points, normals, nb_pts, nb_normals)
         wh = w_k * hist_incr[:, None]
         acc = acc + jnp.concatenate(

@@ -119,6 +119,14 @@ def _load_circuit_clouds(cfg: PipelineConfig, indices=None) -> list[cloud_mod.Cl
     return cloud_mod.load_dataset(cfg.dataset, indices=indices)
 
 
+def _pad_feat(feat, capacity: int):
+    """Pad (N, 33) features with zero rows to ``capacity`` (mask handles it)."""
+    if feat.shape[0] == capacity:
+        return feat
+    pad = jnp.zeros((capacity - feat.shape[0],) + feat.shape[1:], feat.dtype)
+    return jnp.concatenate([feat, pad], axis=0)
+
+
 def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
                    metrics: PairMetrics | None = None, mesh=None) -> np.ndarray:
     """FGR over all circuit pairs; returns (n, 4, 4) relative poses and writes
@@ -136,11 +144,15 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
     # Per-cloud FGR features (normals + FPFH — the reference's hottest kernel,
     # 1_...py:44-50) are computed ONCE per scan and shared between the two
     # adjacent pairs each scan serves, mirroring stage 2's pyramid cache.
+    # Each scan runs at its own capacity bucket (cloud.bucket_capacity): the
+    # selection/distance/gather cost scales with the query x ref AREA, and the
+    # NCLT scans average 21k valid points in the 32k dataset bucket.
     feat_cache: dict[int, tuple] = {}
 
     def features(i):
         if i not in feat_cache:
-            feat_cache[i] = fgr_mod.fgr_features(clouds[i], cfg.voxel_size)
+            cc = cloud_mod.compact(clouds[i], cloud_mod.bucket_capacity(clouds[i]))
+            feat_cache[i] = fgr_mod.fgr_features(cc, cfg.voxel_size)
         return feat_cache[i]
 
     ckpt = os.path.join(cfg.out_dir("metrics"), "stage1_partial.npy")
@@ -175,6 +187,11 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
         t0 = time.time()
         src, feat_src = features(src_i)
         tgt, feat_tgt = features(tgt_i)
+        # Pair runs at the max of the two scan buckets (matching/GNC cost is
+        # area- and row-bound too); features pad with zero rows, mask False.
+        B = max(src.capacity, tgt.capacity)
+        src, feat_src = cloud_mod.pad_to(src, B), _pad_feat(feat_src, B)
+        tgt, feat_tgt = cloud_mod.pad_to(tgt, B), _pad_feat(feat_tgt, B)
         opts = fgr_mod.default_options(src, tgt, cfg.voxel_size)
         res = fgr_mod.registration_fgr(
             src, tgt, feat_src, feat_tgt, opts, seed=cfg.fgr_seed + src_i
@@ -482,8 +499,20 @@ def run_pair(cfg: PipelineConfig, src_i: int, tgt_i: int,
     out: dict = {"src": src_i, "tgt": tgt_i, "dataset": cfg.dataset}
     t0 = time.time()
     if isinstance(init, str) and init == "fgr":
-        res_fgr = fgr_mod.registro_fgr(src_c, tgt_c, cfg.voxel_size,
-                                       seed=cfg.fgr_seed + src_i)
+        # Featurize each scan at its own capacity bucket, then pad the pair to
+        # the max bucket — cuts the 245k-capacity Courtyard FPFH/selection to
+        # the actual cloud sizes (s4 is 96k valid in the 245k bucket).
+        bs = cloud_mod.compact(src_c, cloud_mod.bucket_capacity(src_c))
+        bt = cloud_mod.compact(tgt_c, cloud_mod.bucket_capacity(tgt_c))
+        bs_f, feat_s = fgr_mod.fgr_features(bs, cfg.voxel_size)
+        bt_f, feat_t = fgr_mod.fgr_features(bt, cfg.voxel_size)
+        B = max(bs_f.capacity, bt_f.capacity)
+        bs_f, feat_s = cloud_mod.pad_to(bs_f, B), _pad_feat(feat_s, B)
+        bt_f, feat_t = cloud_mod.pad_to(bt_f, B), _pad_feat(feat_t, B)
+        res_fgr = fgr_mod.registration_fgr(
+            bs_f, bt_f, feat_s, feat_t,
+            fgr_mod.default_options(bs_f, bt_f, cfg.voxel_size),
+            seed=cfg.fgr_seed + src_i)
         T0 = np.asarray(res_fgr.transformation, np.float64)
         out["fgr_fitness"] = float(res_fgr.fitness)
         metrics.add("fgr", src_i, tgt_i, float(res_fgr.fitness),

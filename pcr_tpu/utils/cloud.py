@@ -184,6 +184,43 @@ def compact(c: Cloud, capacity: int) -> Cloud:
     )
 
 
+def pad_to(c: Cloud, capacity: int) -> Cloud:
+    """Pad a cloud back up to a larger static capacity (inverse of compact's
+    shrink): appended slots get mask=False / PAD_COORD points, so every masked
+    kernel treats them as absent.  Used by the per-cloud capacity bucketing in
+    stage 1: each scan is featurized at its own rounded-up bucket, then the
+    pair is padded to the max of the two buckets for the matching/GNC step."""
+    if capacity == c.capacity:
+        return c
+    if capacity < c.capacity:
+        raise ValueError(f"pad_to({capacity}) below capacity {c.capacity}")
+
+    def take(x, fill):
+        if x is None:
+            return None
+        pad = jnp.full((capacity - x.shape[0],) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad], axis=0)
+
+    return Cloud(
+        points=take(c.points, PAD_COORD),
+        mask=take(c.mask, False),
+        normals=take(c.normals, 0.0),
+        covariances=take(c.covariances, 0.0),
+        colors=take(c.colors, 0.0),
+    )
+
+
+def bucket_capacity(c: Cloud, granularity: int = 4096) -> int:
+    """Tightest granularity-multiple static capacity holding the cloud's valid
+    points.  Per-query kernel cost (selection, distance tiles, gathers) scales
+    with the AREA capacity_q x capacity_r, so running each scan at its own
+    bucket instead of the dataset-wide one (NCLT: mean 21k valid in the 32k
+    bucket) cuts the stage-1 hot path ~40% at the cost of one XLA compile per
+    distinct bucket (cached persistently)."""
+    nv = int(np.asarray(jax.device_get(c.count())))
+    return min(c.capacity, max(granularity, -(-nv // granularity) * granularity))
+
+
 def plan_scale_caps(clouds: list[Cloud], scales: list[float],
                     bucket: int = 1024, margin: int = 64) -> tuple[int, ...]:
     """Host-side static-shape planner for the multiscale pyramid.
