@@ -16,7 +16,10 @@ import os as _os
 # kNN at Courtyard scale) take minutes to compile on first use; cache them
 # across CLI/pipeline invocations.  Lives inside the repo tree (gitignored)
 # rather than /tmp so it survives environment resets between sessions.
-# Respect the caller's setting if present.
+# Respect the caller's setting if present.  NOTE: this JAX build does NOT read
+# JAX_COMPILATION_CACHE_DIR from the environment (config stays None even when
+# the var is exported before import) — the cache must be enabled through
+# jax.config.update below.
 _os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
@@ -24,6 +27,13 @@ _os.environ.setdefault(
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax as _jax
+
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(_os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
 
 # Geometry workloads need true-f32 matmuls: the default TPU policy lowers f32
 # dot products to single-pass bf16, which is catastrophic for squared-distance
