@@ -26,24 +26,52 @@ from .global_refine import pose_graph as pg_mod
 
 
 def coarse_to_fine(source: Cloud, target: Cloud, voxel_size: float, seed: int = 0,
-                   n_scales: int = 3, iterations: int = 100):
+                   n_scales: int = 3, iterations: int = 100,
+                   retry: bool = True, fitness_gate: float = 0.40):
     """``Coarse_to_fine_FGR_M_GICP``: FGR seed -> 3-scale doubling M-GICP ->
-    information matrix.  Returns (RegistrationResult, (6, 6) info matrix).
+    information matrix.  Returns (RegistrationResult, (6, 6) info matrix,
+    gate_fitness).
 
     ``n_scales``/``iterations`` default to the reference's values
     (ALL_FUNCTIONS.py:325); tests use reduced budgets.
+
+    ``gate_fitness`` is the full-cloud fitness at 2*voxel — the honest
+    success measurement.  The doubling schedule's finest correspondence
+    distance is extent-based (radius/2^(n-1), meters for TLS scenes), so
+    ``res.fitness`` can score a wrong-by-meters alignment above 0.5; the
+    reference gates on exactly that number (ALL_FUNCTIONS.py:369) and can
+    admit false-positive edges.  Like the pipeline's retry ladder
+    (pipeline._retry_pair), a gate failure re-seeds FGR at coarser voxels
+    and keeps the best candidate by gate fitness.
     """
-    res_fgr = fgr_mod.registro_fgr(
-        source, target, voxel_size, use_absolute_scale=True, seed=seed
-    )
-    res = ms_mod.multiscale_gicp(
-        source, target, res_fgr.transformation,
-        n_scales=n_scales, iterations=iterations, schedule="doubling",
-    )
+    def attempt(vmult: float, s: int):
+        res_fgr = fgr_mod.registro_fgr(
+            source, target, voxel_size * vmult, use_absolute_scale=True, seed=s
+        )
+        res = ms_mod.multiscale_gicp(
+            source, target, res_fgr.transformation,
+            n_scales=n_scales, iterations=iterations, schedule="doubling",
+        )
+        fit, _, _ = eval_mod.evaluate_registration(
+            source, target, 2 * voxel_size, res.transformation
+        )
+        return res, float(fit)
+
+    res, gate_fit = attempt(1.0, seed)
+    if retry and gate_fit <= fitness_gate:
+        # Reseed at the same voxel first: FGR's tuple sampling is the usual
+        # failure mode (measured: Facade s0->s1 at 16k pts lands 2.3 m off
+        # with one seed, 0.15-0.3 m with the next four), then coarsen.
+        for vmult, off in ((1.0, 101), (2.0, 202), (4.0, 303)):
+            cand, cand_fit = attempt(vmult, seed + off)
+            if cand_fit > gate_fit:
+                res, gate_fit = cand, cand_fit
+            if gate_fit > fitness_gate:
+                break
     info = eval_mod.information_matrix(
         source, target, voxel_size, res.transformation
     )
-    return res, info
+    return res, info, gate_fit
 
 
 def full_registration(clouds: list[Cloud], voxel_size: float, k: int,
@@ -64,13 +92,13 @@ def full_registration(clouds: list[Cloud], voxel_size: float, k: int,
     ok = 0
     for source_id in range(n):
         for target_id in range(source_id + 1, min(source_id + k + 1, n)):
-            res, info = coarse_to_fine(
+            res, info, fit = coarse_to_fine(
                 clouds[source_id], clouds[target_id], voxel_size,
                 seed=source_id * n + target_id,
                 n_scales=n_scales, iterations=iterations,
+                fitness_gate=fitness_gate,
             )
             T = np.asarray(res.transformation, np.float64)
-            fit = float(res.fitness)
             if target_id == source_id + 1:
                 odometry = T @ odometry
                 nodes.append(np.linalg.inv(odometry))

@@ -163,7 +163,18 @@ def multiscale_gicp(
     elif schedule == "doubling":
         scales = create_scales_doubling(n_scales)
         base = radius_from_cloud_pair(source, target)
-        dists = [base * (2.0 ** (-i)) for i in range(n_scales)]
+        # Deliberate deviation from ALL_FUNCTIONS.py:276-278, which uses the
+        # raw extent radius (tens of meters for TLS scans) as the first-scale
+        # correspondence cap: at that distance every source point matches
+        # SOMETHING, and on partial-overlap pairs the robust GN walks a
+        # correct seed into a wrong basin (measured: Facade s0->s1 at 16k
+        # pts, FGR pose 0.20 m from the fixture, refined to 24 m off under a
+        # 34.8 m cap).  Clamp each scale's cap to 10x its voxel — same order
+        # as the canonical linear schedule's 3-10x voxel ratios (2_...py:
+        # 112-120) — which keeps the extent-derived schedule for small scenes
+        # and bounds it for large ones.
+        dists = [jnp.minimum(base * (2.0 ** (-i)), 10.0 * scales[i])
+                 for i in range(n_scales)]
     else:
         raise ValueError(f"unknown schedule {schedule!r}")
 

@@ -164,16 +164,32 @@ def compact(c: Cloud, capacity: int) -> Cloud:
 
     Used by the multiscale pyramid: after voxel downsampling at a coarse scale
     only a few % of slots are valid, and neighbor search is O(N_src * N_tgt) in
-    the static capacity.  Points beyond `capacity` valid ones are dropped
-    (callers pick capacities with headroom; the mask records the true count).
+    the static capacity.  When more than `capacity` points are valid, the
+    survivors are a UNIFORM stride over the valid set, not a prefix: Cloud
+    points are kept in spatially sorted order (voxel output is cell-sorted),
+    so a prefix crop would keep one corner of the scene and silently destroy
+    the overlap region a registration needs.  The stride keeps coverage
+    spatially uniform (the deterministic analogue of the reference's random
+    downsampling, ALL_FUNCTIONS.py:236).
     """
     order = jnp.argsort(~c.mask, stable=True)  # valid first, stable
+    n_valid = jnp.sum(c.mask.astype(jnp.int32))
+    ar = jnp.arange(capacity, dtype=jnp.int32)
+    # ratio <= capacity_in/capacity; products stay < 2^24 so f32 is exact
+    # enough — indices only need uniformity, clamped below n_valid.
+    strided = jnp.minimum(
+        jnp.floor(ar.astype(jnp.float32)
+                  * (n_valid.astype(jnp.float32) / capacity)).astype(jnp.int32),
+        jnp.maximum(n_valid - 1, 0),
+    )
+    idx = jnp.where(n_valid > capacity, strided, ar)
+    order = order[idx]
 
     def take(x):
-        return None if x is None else x[order][:capacity]
+        return None if x is None else x[order]
 
     pts = take(c.points)
-    msk = c.mask[order][:capacity]
+    msk = c.mask[order]
     pts = jnp.where(msk[:, None], pts, PAD_COORD)
     return Cloud(
         points=pts,

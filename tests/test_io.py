@@ -51,6 +51,33 @@ def test_padded_cloud():
     assert float(c.masked_points()[-1, 0]) == cloud.PAD_COORD
 
 
+def test_compact_decimates_uniformly(rng):
+    """compact() below the valid count must keep spatially uniform coverage,
+    not a prefix: Cloud points arrive cell-sorted (voxel output), so a prefix
+    crop would keep one corner of the scene — which silently destroyed the
+    overlap region in graph-builder registrations."""
+    import jax.numpy as jnp
+
+    n = 4096
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = np.sort(rng.uniform(0.0, 100.0, size=n))  # sorted axis
+    pts[:, 1:] = rng.normal(size=(n, 2))
+    c = cloud.Cloud(points=jnp.asarray(pts), mask=jnp.ones(n, bool))
+    cc = cloud.compact(c, 512)
+    kept = np.asarray(cc.points)[np.asarray(cc.mask)]
+    assert kept.shape[0] == 512
+    # uniform stride over a sorted axis keeps the full extent
+    assert kept[:, 0].min() < 1.0 and kept[:, 0].max() > 95.0
+    assert np.unique(kept[:, 0]).size == 512  # no duplicated rows
+    # lossless case unchanged: capacity >= n_valid keeps every valid point
+    half = cloud.Cloud(points=jnp.asarray(pts),
+                       mask=jnp.asarray(np.arange(n) % 2 == 0))
+    ch = cloud.compact(half, n // 2)
+    assert int(ch.count()) == n // 2
+    np.testing.assert_array_equal(
+        np.asarray(ch.points)[np.asarray(ch.mask)], pts[::2])
+
+
 def test_load_reference_relative_circuit():
     poses = poses_io.load_reference_relative("FGR_GICP", "Facade")
     assert poses.shape == (7, 4, 4)

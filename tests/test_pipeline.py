@@ -83,13 +83,14 @@ def test_coarse_to_fine(rng):
     from pcr_tpu.models import graph_builder
 
     clouds, gt = _bumpy_clouds(rng, n_clouds=2)
-    res, info = graph_builder.coarse_to_fine(
+    res, info, gate_fit = graph_builder.coarse_to_fine(
         clouds[1], clouds[0], voxel_size=0.2, n_scales=2, iterations=25
     )
     # T registers cloud1 onto cloud0: equals gt[0]^-1 @ gt[1] = gt[1]
     T = np.asarray(res.transformation, np.float64)
     dR, dt = se3.pose_errors(T, gt[1])
     assert float(res.fitness) > 0.4
+    assert gate_fit > 0.4
     assert float(dt) < 0.05, (dt, T, gt[1])
     I = np.asarray(info)
     assert I.shape == (6, 6) and np.isfinite(I).all()
@@ -246,6 +247,44 @@ def test_courtyard_mgicp_240k(tmp_path):
     ours = np.asarray(out["T"])
     dt = np.linalg.norm(ours[:3, 3] - T0[:3, 3])
     assert dt < 0.3, dt  # refinement stays near the fixture-composed seed
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_courtyard_fgr_240k(tmp_path):
+    """Full coarse registration at TLS capacity (VERDICT r2 item 7): FPFH +
+    FGR on the Courtyard s4->s2 edge from scratch — s2 featurizes at the
+    245,760-point bucket, s4 at its own ~98k bucket (per-cloud capacity
+    bucketing), and the pair matches/optimizes at 245,760.  The coarse pose
+    must land near the composed FGR fixture chain pose_3_2 @ pose_4_3
+    (reference: 1_...py:41-66 at Courtyard scale).  First run compiles the
+    245k kernels (minutes; persisted to the compile cache — reruns are
+    compile-free since pcr_tpu enables jax_compilation_cache_dir)."""
+    from pcr_tpu.models import fgr as fgr_mod
+    from pcr_tpu.utils import cloud as cloud_mod
+
+    cfg = pipeline.PipelineConfig(dataset="Courtyard", output_root=str(tmp_path))
+    clouds = cloud_mod.load_dataset("Courtyard", indices=[4, 2])
+    bs = cloud_mod.compact(clouds[0], cloud_mod.bucket_capacity(clouds[0]))
+    bt = cloud_mod.compact(clouds[1], cloud_mod.bucket_capacity(clouds[1]))
+    bs, feat_s = fgr_mod.fgr_features(bs, cfg.voxel_size)
+    bt, feat_t = fgr_mod.fgr_features(bt, cfg.voxel_size)
+    B = max(bs.capacity, bt.capacity)
+    bs, feat_s = cloud_mod.pad_to(bs, B), pipeline._pad_feat(feat_s, B)
+    bt, feat_t = cloud_mod.pad_to(bt, B), pipeline._pad_feat(feat_t, B)
+    res = fgr_mod.registration_fgr(
+        bs, bt, feat_s, feat_t, fgr_mod.default_options(bs, bt, cfg.voxel_size),
+        seed=cfg.fgr_seed + 4)
+    assert float(res.fitness) > 0.6, float(res.fitness)  # TPU run: 0.884
+    T = np.asarray(res.transformation, np.float64)
+    d = poses_io.reference_fixture_dir("FGR", "Courtyard")
+    T42 = poses_io.load_pose(os.path.join(d, "pose_3_2.txt")) @ poses_io.load_pose(
+        os.path.join(d, "pose_4_3.txt")
+    )
+    # Coarse-stage tolerance: FGR is seeded/stochastic and the fixture chain
+    # composes two edges; M-GICP tightens this to ~4 cm (committed evidence).
+    assert np.linalg.norm(T[:3, 3] - T42[:3, 3]) < 0.5, T
+    assert np.linalg.norm(T[:3, :3] - T42[:3, :3]) * np.sqrt(2) / 2 < 0.1, T
 
 
 def test_stage1_batched_matches_serial(rng, tmp_path):
