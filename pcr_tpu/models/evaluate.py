@@ -95,7 +95,8 @@ def evaluate_registration_batch(
     return jax.vmap(f, in_axes=(0, 0, None, 0))(source, target, max_dist, T)
 
 
-def circuit_edge_consistency(absolute_poses, relative_poses):
+def circuit_edge_consistency(absolute_poses, relative_poses,
+                             convention: str = "reference"):
     """Per-edge agreement between a trajectory and the measured relative poses
     — the quantitative 'did global refinement beat the raw chain' statement
     the reference reads off its groundtruth plots (3_...py:368-400; no
@@ -112,6 +113,17 @@ def circuit_edge_consistency(absolute_poses, relative_poses):
     inv(A_k) @ A_{k+1}; only the rotation order differs — SURVEY P11's
     ``compor_duas_poses`` quirk.)  Host-side f64 numpy (901-pose chains lose
     centimeters in f32).  Returns {dR: (n,), dt: (n,)} plus summary floats.
+
+    ``convention`` picks the absolute->relative recovery the trajectory is
+    scored against: "reference" (default) uses the reference's own
+    ``poses_absolutas_para_relativas`` (reversed rotation order), under which
+    its chain (``se3.relative_to_absolute``) scores perfectly; "standard"
+    uses rel[k] = inv(A_k) @ A_{(k+1)%n}, under which the standard chain
+    (``se3.relative_to_absolute_standard``) — and any Open3D-style
+    pose-graph output — scores perfectly.  The two recoveries differ in
+    ROTATION by the conjugation gap (~0.03 rad/edge on NCLT); a trajectory
+    must be scored in its native convention or that gap masquerades as
+    inconsistency.
     """
     import numpy as np
 
@@ -119,7 +131,10 @@ def circuit_edge_consistency(absolute_poses, relative_poses):
     rel = np.asarray(relative_poses, np.float64)
     n = A.shape[0]
     A_next = np.concatenate([A[1:], A[:1]])
-    impl = np.asarray(se3.compose_ref(A_next, se3.invert(A)))
+    if convention == "standard":
+        impl = np.asarray(se3.compose(se3.invert(A), A_next))
+    else:
+        impl = np.asarray(se3.compose_ref(A_next, se3.invert(A)))
     dR = np.linalg.norm(impl[:, :3, :3] - rel[:, :3, :3], axis=(1, 2)) * np.sqrt(2) / 2
     dt = np.linalg.norm(impl[:, :3, 3] - rel[:, :3, 3], axis=1)
     return {

@@ -181,18 +181,25 @@ def registration_fgr(
     opts: FgrOptions,
     seed: int = 0,
     n_trials: int = 16384,
+    max_tuples=None,
 ) -> RegistrationResult:
     """Full FGR: mutual matching -> tuple test -> GNC -> evaluation.
 
     One jit end-to-end: the eager tuple-test/matching glue used to cost ~20
     small dispatches per pair — real latency through the remote-TPU tunnel in
-    the 901-pair circuit loop."""
+    the 901-pair circuit loop.
+
+    ``max_tuples`` optionally overrides ``opts.maximum_tuple_count`` with a
+    TRACED per-call value (the cap is a dynamic comparison, not a shape), so
+    batched runners can give every pair of a chunk its own reference-equal
+    ``0.2 * n`` count (1_...py:59) without per-pair recompilation."""
     corr_i, corr_j, corr_mask = match_features(feat_src, source.mask, feat_tgt, target.mask)
     if opts.tuple_test:
         corr_mask = tuple_test(
             source.points, target.points, corr_i, corr_j, corr_mask, seed,
             tuple_scale=opts.tuple_scale,
-            max_tuples=opts.maximum_tuple_count,
+            max_tuples=(opts.maximum_tuple_count if max_tuples is None
+                        else max_tuples),
             n_trials=n_trials,
         )
     T = fgr_from_correspondences(source, target, corr_i, corr_j, corr_mask, opts)
@@ -242,16 +249,26 @@ def batched_registration_fgr(
     opts: FgrOptions,
     seeds,
     n_trials: int = 16384,
+    max_tuples=None,
 ) -> RegistrationResult:
     """vmapped FGR over stacked pairs (leading dim B) — the pair-parallel
     form of the reference's serial stage-1 loop (1_...py:134-147).  ``seeds``
     is an (B,) int array, one tuple-test seed per pair (matching the serial
-    runner's per-pair ``fgr_seed + src_index`` so batched == serial)."""
+    runner's per-pair ``fgr_seed + src_index`` so batched == serial);
+    ``max_tuples`` an optional (B,) int array of per-pair tuple-count caps
+    (the serial runner's per-pair-bucket ``0.2 * capacity`` options)."""
+    if max_tuples is None:
+        def one(s, t, fs, ft, sd):
+            return registration_fgr(s, t, fs, ft, opts, sd, n_trials)
 
-    def one(s, t, fs, ft, sd):
-        return registration_fgr(s, t, fs, ft, opts, sd, n_trials)
+        return jax.vmap(one)(source, target, feat_src, feat_tgt,
+                             jnp.asarray(seeds))
 
-    return jax.vmap(one)(source, target, feat_src, feat_tgt, jnp.asarray(seeds))
+    def one_mt(s, t, fs, ft, sd, mt):
+        return registration_fgr(s, t, fs, ft, opts, sd, n_trials, mt)
+
+    return jax.vmap(one_mt)(source, target, feat_src, feat_tgt,
+                            jnp.asarray(seeds), jnp.asarray(max_tuples))
 
 
 @functools.partial(jax.jit, static_argnames=())

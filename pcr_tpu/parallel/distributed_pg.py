@@ -50,8 +50,10 @@ def distributed_optimize(
     mu: float = 1.0,
     max_iterations: int = 100,
     solver: str | None = None,
-) -> jnp.ndarray:
-    """Edge-sharded LM pass; returns optimized nodes (replicated).
+) -> pg.LMResult:
+    """Edge-sharded LM pass; returns an ``LMResult`` whose nodes/cost/
+    iteration count are replicated and whose line-process weights cover the
+    (padded) edge set.
 
     For circuit graphs the block-tridiagonal path psums only the reduced
     quantities — (n, 6, 6) band blocks + (n, 6) gradient, ~260 KB at n=901 —
@@ -68,15 +70,17 @@ def distributed_optimize(
             nodes=P(), edge_src=P("pairs"), edge_dst=P("pairs"), edge_T=P("pairs"),
             edge_info=P("pairs"), uncertain=P("pairs"), edge_mask=P("pairs"),
         ),),
-        out_specs=P(),
+        out_specs=pg.LMResult(
+            nodes=P(), final_cost=P(), iterations_used=P(),
+            line_process=P("pairs"),
+        ),
         check_vma=False,
     )
     def run(g: pg.PoseGraph):
-        nodes, cost = pg.optimize_pose_graph_once(
+        return pg.optimize_pose_graph_once(
             g, mu=mu, max_iterations=max_iterations, axis_name="pairs",
             solver=solver,
         )
-        return nodes
 
     return run(graph)
 
@@ -90,19 +94,21 @@ def distributed_global_optimization(
     max_iterations: int = 100,
 ) -> pg.PoseGraph:
     """Distributed version of models.global_refine.global_optimization:
-    optimize -> prune uncertain edges by line-process weight -> re-optimize."""
-    tr = jnp.einsum("eii->e", graph.edge_info[:, 3:6, 3:6]) / 3.0
-    unc = graph.uncertain.astype(jnp.float32)
-    n_corr_mean = jnp.maximum(
-        jnp.sum(tr * unc) / jnp.maximum(jnp.sum(unc), 1.0), 1.0
+    optimize -> prune uncertain edges by the optimizer's final line-process
+    weights -> re-optimize (re-seeded with the exact chain when pruning left
+    a pure odometry circuit, matching the single-device path)."""
+    mu = pg.line_process_weight(
+        graph, preference_loop_closure, max_correspondence_distance
     )
-    mu = preference_loop_closure * max_correspondence_distance**2 * n_corr_mean
-
-    nodes = distributed_optimize(mesh, graph, mu=mu, max_iterations=max_iterations)
+    E = graph.edge_src.shape[0]
+    res = distributed_optimize(mesh, graph, mu=mu, max_iterations=max_iterations)
     # Drop the explicit mesh sharding before mixing with host-side arrays
-    nodes = jnp.asarray(np.asarray(nodes))
-    w, _, _ = pg._line_process_weights(graph, nodes, mu)
+    nodes = jnp.asarray(np.asarray(res.nodes))
+    w = jnp.asarray(np.asarray(res.line_process))[:E]
     keep = (~graph.uncertain) | (w >= edge_prune_threshold)
     pruned = graph._replace(nodes=nodes, edge_mask=graph.edge_mask & keep)
-    nodes = distributed_optimize(mesh, pruned, mu=mu, max_iterations=max_iterations)
-    return pruned._replace(nodes=nodes)
+    if bool(jnp.any(graph.edge_mask & ~keep)) and pg.is_circuit_graph(graph):
+        if not bool(jnp.any(pruned.uncertain & pruned.edge_mask)):
+            pruned = pruned._replace(nodes=pg.chain_nodes_from_edges(pruned))
+    res = distributed_optimize(mesh, pruned, mu=mu, max_iterations=max_iterations)
+    return pruned._replace(nodes=jnp.asarray(np.asarray(res.nodes)))

@@ -238,6 +238,34 @@ def relative_to_absolute(T_rel: jnp.ndarray) -> jnp.ndarray:
     return xp.concatenate([eye, poses[: n - 1]], axis=0)
 
 
+def relative_to_absolute_standard(T_rel: jnp.ndarray) -> jnp.ndarray:
+    """STANDARD SE(3) chain of the same relative poses: A_0 = I and
+    A_{i+1} = A_i @ rel_i, where rel_i maps frame i+1 -> i (the fixture
+    files' ``pose_{i+1}_{i}`` semantics), so A_i maps frame i -> frame 0.
+
+    This is the composition Open3D's pose-graph machinery (and any standard
+    SE(3) treatment) is consistent with.  The reference's own chain
+    (``relative_to_absolute``) composes rotations in REVERSED order
+    (``compor_duas_poses``, ALL_FUNCTIONS.py:142-147 — the P11 quirk) and
+    diverges from this chain by ~55 m over the 901-scan NCLT circuit; its
+    closure error is 40.8 m in the reference convention vs 17.9 m here.
+    Host numpy inputs run sequentially in f64 (900-link f32 chains drift by
+    meters); traced inputs use an O(log n) associative scan.
+    """
+    n = T_rel.shape[0]
+    if isinstance(T_rel, np.ndarray):
+        out = np.empty((n, 4, 4))
+        acc = np.eye(4)
+        out[0] = acc
+        for i in range(n - 1):
+            acc = acc @ np.float64(T_rel[i])
+            out[i + 1] = acc
+        return out
+    cum = jax.lax.associative_scan(jnp.matmul, T_rel, axis=0)
+    eye = jnp.eye(4, dtype=T_rel.dtype)[None]
+    return jnp.concatenate([eye, cum[: n - 1]], axis=0)
+
+
 def chain_rotations_ref(Rs: jnp.ndarray) -> jnp.ndarray:
     """Reference forward accumulation used by LUM (3_...py:196-199).
 

@@ -59,9 +59,11 @@ def test_distributed_pose_graph_matches_single(rng):
     graph, _ = make_pose_graph(rng, 16, drift=0.03)
     m = mesh_mod.make_pair_mesh(8)
     mu = 10.0
-    nodes_single, _ = pose_graph.optimize_pose_graph_once(graph, mu=mu, max_iterations=30)
-    nodes_dist = distributed_pg.distributed_optimize(m, graph, mu=mu, max_iterations=30)
-    np.testing.assert_allclose(np.asarray(nodes_dist), np.asarray(nodes_single), atol=5e-4)
+    res_single = pose_graph.optimize_pose_graph_once(graph, mu=mu, max_iterations=30)
+    res_dist = distributed_pg.distributed_optimize(m, graph, mu=mu, max_iterations=30)
+    np.testing.assert_allclose(
+        np.asarray(res_dist.nodes), np.asarray(res_single.nodes), atol=5e-4
+    )
 
 
 def test_distributed_global_optimization_closes_loop(rng):
