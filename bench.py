@@ -74,6 +74,7 @@ def bench_fgr(jax, jnp, np, clouds, n_pairs):
     match/GNC — the reference's hottest kernel (FPFH 200-NN, 1_...py:48-50)."""
     from pcr_tpu import pipeline
     from pcr_tpu.models import fgr as fgr_mod
+    from pcr_tpu.ops import fpfh_sorted
     from pcr_tpu.utils import cloud as cloud_mod
 
     feats = {}
@@ -82,14 +83,15 @@ def bench_fgr(jax, jnp, np, clouds, n_pairs):
         # Salted: a global translation of every scan leaves the registration
         # problem identical but defeats any repeated-(executable, args)
         # shortcut between the warmup and timed runs.  Per-cloud capacity
-        # bucketing + pair pad-to-max mirrors pipeline.run_stage1_fgr.
+        # bucketing + pair pad-to-max + banded gather-free features mirrors
+        # pipeline.run_stage1_fgr (stage1_features="banded", the default).
         outs = []
         for k in range(n_pairs):
             for i in (k, k + 1):
                 if i not in feats:
                     ci = clouds[i].with_(points=clouds[i].points + salt)
                     cc = cloud_mod.compact(ci, cloud_mod.bucket_capacity(ci))
-                    feats[i] = fgr_mod.fgr_features(cc, 0.1)
+                    feats[i] = fpfh_sorted.fgr_features_sorted(cc, 0.1, band=2048)
             B = max(feats[k + 1][0].capacity, feats[k][0].capacity)
             src = cloud_mod.pad_to(feats[k + 1][0], B)
             tgt = cloud_mod.pad_to(feats[k][0], B)

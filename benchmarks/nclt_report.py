@@ -85,25 +85,63 @@ def main(root="outputs", sweep=False):
             "rmse_mean": float(rmse.mean()),
             "success_rate_fitness_gt_0.4": float((fit > 0.4).mean()),
         }
+    chained_std = np.asarray(se3.relative_to_absolute_standard(s2))
     raw_cons = eval_mod.circuit_edge_consistency(chained, s2)
     out["raw_chain_consistency"] = {
         k: v for k, v in raw_cons.items() if isinstance(v, float)}
+    out["raw_chain_standard_consistency"] = {
+        k: v for k, v in eval_mod.circuit_edge_consistency(
+            chained_std, s2, convention="standard").items()
+        if isinstance(v, float)}
+    # ATE target: the composed FGR_GICP *fixture* chain — the agreed
+    # groundtruth stand-in (BASELINE.md; the 3_...py:368-372 analogue).  Each
+    # method is compared against the fixture chain composed in the method's
+    # own convention (the closed forms live in the reference's reversed-order
+    # chain; the pose graph in standard SE(3) — mixing them would charge the
+    # ~55 m convention gap as trajectory error).
+    fixture_chain_ref = np.asarray(se3.relative_to_absolute(r2))
+    fixture_chain_std = np.asarray(se3.relative_to_absolute_standard(r2))
+    ate = {}
     for m in ("LUM", "SLERP", "SLERP_LUM", "pose_graph"):
         d = os.path.join(root, f"absolute_poses_{m}", "NCLT")
         if not os.path.isdir(d):
             continue
+        conv = "standard" if m == "pose_graph" else "reference"
+        base = chained_std if conv == "standard" else chained
+        fix = fixture_chain_std if conv == "standard" else fixture_chain_ref
         poses = poses_io.load_absolute_poses(d, n)
-        dev = np.linalg.norm(poses[:, :3, 3] - chained[:, :3, 3], axis=1)
-        cons = eval_mod.circuit_edge_consistency(poses, s2)
+        dev = np.linalg.norm(poses[:, :3, 3] - base[:, :3, 3], axis=1)
+        cons = eval_mod.circuit_edge_consistency(poses, s2, convention=conv)
+        dR_f, dt_f = se3.pose_errors(poses, fix)
+        dR_f, dt_f = np.asarray(dR_f), np.asarray(dt_f)
+        ate[m] = {
+            "dt_mean_m": float(dt_f.mean()), "dt_median_m": float(np.median(dt_f)),
+            "dt_max_m": float(dt_f.max()),
+            "dR_mean": float(dR_f.mean()), "dR_max": float(dR_f.max()),
+        }
         methods[m] = {
             "finite": bool(np.isfinite(poses).all()),
             "node0_is_identity": bool(np.abs(poses[0] - np.eye(4)).max() < 1e-6),
+            "convention": conv,
             "max_dev_from_chain_m": float(dev.max()),
             "end_node_dev_from_chain_m": float(dev[-1]),
             "edge_consistency": {
                 k: v for k, v in cons.items() if isinstance(v, float)},
             "beats_raw_chain_dt_max": bool(cons["dt_max_m"] < raw_cons["dt_max_m"]),
         }
+    if ate:
+        winner = min(ate, key=lambda m: ate[m]["dt_mean_m"])
+        out["stage3_ate_vs_fixture_chain"] = {
+            **ate, "winner_by_dt_mean": winner}
+    if "SLERP" in methods:
+        # verified against a literal transcription of 3_...py:225-250
+        # (test_refine_slerp_matches_reference_transcription): re-chaining raw
+        # relative translations with slerp-adjusted rotations redistributes
+        # the translation closure and can GROW the closure-edge dt — the
+        # reference algorithm's own behavior, not an implementation slip.
+        methods["SLERP"]["closure_edge_note"] = (
+            "closure-edge dt growth is inherent to the reference SLERP "
+            "algorithm (rotation-only adjustment re-chains translations)")
         if sweep and clouds is not None:
             from pcr_tpu import pipeline
 
@@ -122,6 +160,10 @@ def main(root="outputs", sweep=False):
         if "pose_graph" in saved and "pose_graph" in methods:
             methods["pose_graph"]["pruned_edges"] = saved["pose_graph"].get(
                 "pruned_edges")
+            # LM convergence diagnostics (iterations, final cost, line-process
+            # state at the prune decision) — VERDICT r3 weak #1
+            if "optimizer" in saved["pose_graph"]:
+                methods["pose_graph"]["optimizer"] = saved["pose_graph"]["optimizer"]
     out["stage3"] = methods
 
     # per-pair metrics summary

@@ -128,3 +128,120 @@ def full_registration(clouds: list[Cloud], voxel_size: float, k: int,
         uncertain=jnp.asarray(np.asarray(unc_l)),
         edge_mask=jnp.ones(len(src_l), dtype=bool),
     )
+
+
+def full_registration_batched(clouds: list[Cloud], voxel_size: float, k: int,
+                              fitness_gate: float = 0.40, log=print,
+                              n_scales: int = 3, iterations: int = 100,
+                              batch_size: int = 4) -> pg_mod.PoseGraph:
+    """Batched ``full_registration`` (VERDICT r3 item 6): the reference's
+    O(n*k) serial pair loop (ALL_FUNCTIONS.py:349-392) becomes chunked
+    vmapped FGR + doubling M-GICP + batched information matrices.
+
+    Behavioral equivalence with the serial builder: per-cloud FGR features
+    are bit-identical (computed once per cloud, same ``fgr_features``), each
+    pair keeps its serial seed ``source*n + target``, and any pair whose
+    first attempt fails the 2*voxel gate falls back to the SERIAL
+    ``coarse_to_fine`` retry ladder — so a graph differs from the serial
+    one only on pairs the serial path would also have re-attempted.
+    """
+    from ..parallel import pair_sharding
+    from ..utils import cloud as cloud_mod
+
+    n = len(clouds)
+    pairs = [(s, t) for s in range(n)
+             for t in range(s + 1, min(s + k + 1, n))]
+    E = len(pairs)
+    B = max(batch_size, 1)
+
+    feats: dict[int, tuple] = {}
+
+    def feat(i):
+        if i not in feats:
+            feats[i] = fgr_mod.fgr_features(clouds[i], voxel_size)
+        return feats[i]
+
+    T_all = np.zeros((E, 4, 4))
+    gate_all = np.zeros(E)
+    for start in range(0, E, B):
+        chunk = pairs[start:start + B]
+        pad = B - len(chunk)
+        chunk_p = chunk + [chunk[-1]] * pad
+        src_f = [feat(s) for s, _ in chunk_p]
+        tgt_f = [feat(t) for _, t in chunk_p]
+        src = cloud_mod.stack_clouds([c for c, _ in src_f])
+        tgt = cloud_mod.stack_clouds([c for c, _ in tgt_f])
+        fs = jnp.stack([f for _, f in src_f])
+        ft = jnp.stack([f for _, f in tgt_f])
+        opts = fgr_mod.default_options(
+            src_f[0][0], tgt_f[0][0], voxel_size, use_absolute_scale=True)
+        seeds = jnp.asarray([s * n + t for s, t in chunk_p], jnp.int32)
+        res_fgr = fgr_mod.batched_registration_fgr(src, tgt, fs, ft, opts, seeds)
+        # raw clouds for the doubling M-GICP (it preprocesses per scale)
+        src_raw = cloud_mod.stack_clouds([clouds[s] for s, _ in chunk_p])
+        tgt_raw = cloud_mod.stack_clouds([clouds[t] for _, t in chunk_p])
+        res = pair_sharding.batched_mgicp(
+            src_raw, tgt_raw, res_fgr.transformation,
+            n_scales=n_scales, iterations=iterations, schedule="doubling")
+        fit, _, _ = eval_mod.evaluate_registration_batch(
+            src_raw, tgt_raw, 2 * voxel_size, res.transformation)
+        T_np = np.asarray(res.transformation, np.float64)
+        fit_np = np.asarray(fit)
+        for j in range(len(chunk)):
+            T_all[start + j] = T_np[j]
+            gate_all[start + j] = fit_np[j]
+
+    infos = np.zeros((E, 6, 6))
+    retried = 0
+    for e, (s, t) in enumerate(pairs):
+        if gate_all[e] <= fitness_gate:
+            # serial retry ladder — identical to the serial builder's path
+            res, info, fit = coarse_to_fine(
+                clouds[s], clouds[t], voxel_size, seed=s * n + t,
+                n_scales=n_scales, iterations=iterations,
+                fitness_gate=fitness_gate)
+            T_all[e] = np.asarray(res.transformation, np.float64)
+            gate_all[e] = fit
+            infos[e] = np.asarray(info, np.float64)
+            retried += 1
+    # batched information matrices for the non-retried pairs
+    todo = [e for e in range(E) if not infos[e].any()]
+    for start in range(0, len(todo), B):
+        idx = todo[start:start + B]
+        pad_idx = idx + [idx[-1]] * (B - len(idx))
+        src = cloud_mod.stack_clouds([clouds[pairs[e][0]] for e in pad_idx])
+        tgt = cloud_mod.stack_clouds([clouds[pairs[e][1]] for e in pad_idx])
+        T = jnp.asarray(T_all[pad_idx], jnp.float32)
+        I = np.asarray(eval_mod.information_matrix_batch(
+            src, tgt, voxel_size, T))
+        for j, e in enumerate(idx):
+            infos[e] = I[j]
+
+    nodes = [np.eye(4)]
+    odometry = np.eye(4)
+    unc_l = []
+    ok = 0
+    for e, (s, t) in enumerate(pairs):
+        if t == s + 1:
+            odometry = T_all[e] @ odometry
+            nodes.append(np.linalg.inv(odometry))
+            unc_l.append(False)
+        else:
+            unc_l.append(True)
+        ok += int(gate_all[e] > fitness_gate)
+        if log:
+            log(f"pair {s}->{t} {'loop' if unc_l[-1] else 'odom'} "
+                f"fitness={gate_all[e]:.3f} "
+                f"{'ok' if gate_all[e] > fitness_gate else 'FAILED'}")
+    if log:
+        log(f"{ok}/{E} successful registrations (gate {fitness_gate}, "
+            f"{retried} retried serially)")
+    return pg_mod.PoseGraph(
+        nodes=jnp.asarray(np.stack(nodes), jnp.float32),
+        edge_src=jnp.asarray(np.asarray([s for s, _ in pairs], np.int32)),
+        edge_dst=jnp.asarray(np.asarray([t for _, t in pairs], np.int32)),
+        edge_T=jnp.asarray(np.stack(T_all), jnp.float32),
+        edge_info=jnp.asarray(np.stack(infos), jnp.float32),
+        uncertain=jnp.asarray(np.asarray(unc_l)),
+        edge_mask=jnp.ones(E, dtype=bool),
+    )

@@ -1,0 +1,292 @@
+"""Gather-free stage-1 features: hybrid normals + FPFH over banded
+sorted-space tiles (VERDICT r3 item 4).
+
+The stage-1 hot path used to be: one approximate k=200 selection
+(``knn(..., recall=0.90)``, ~119 ms at the 32k NCLT bucket) feeding a
+6.4M-row neighbor GATHER in the SPFH pass (~30 M rows/s on v5e — the single
+largest stage-1 cost after round 3 removed everything else).  This module
+removes both, applying the banded sorted-space pattern proven by
+``ops/preprocess.py``: sort once along the largest-extent axis, slice a
+contiguous band slab per query tile, and express every neighborhood quantity
+as a reduction over the band's distance tiles —
+
+  * neighborhood thresholds (hybrid kNN radii) via log-space count-CDF
+    bisection per query (no approx_min_k, no index lists);
+  * normal covariances as one MXU moments matmul per tile;
+  * SPFH as in-tile Darboux pair features + 11-bin comparisons-and-reduce
+    histograms (pairs are materialized per tile only, never their indices);
+  * the FPFH weighted neighbor sum as a (TQ, 2B) x (2B, 33) MXU matmul per
+    tile over contiguous band SLABS of the SPFH array (the only row fetch
+    left, ~12x fewer rows than the old gather and slab-contiguous).
+
+Semantics vs the exact ``fgr_features`` chain (which remains available):
+neighborhoods are the ``min(k-th in-band distance, radius)`` hybrid sets; a
+band (default 4096 either side) that misses a true neighbor widens the
+threshold to the nearest in-band points instead — the same class of
+approximation as the selection path's ``recall=0.90``, validated the same
+way (downstream FGR fitness/pose parity vs the fixtures).  Distance ties at
+the bisected threshold are all included, so a neighborhood may hold a couple
+of extra points.
+
+Reference: Open3D ``compute_fpfh_feature`` with Hybrid(10*voxel, 200) and
+``estimate_normals`` Hybrid(2*voxel, 20) at ``1_...py:44-50``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import eigen3
+from ..utils.cloud import Cloud, PAD_COORD
+
+N_BINS = 11
+FEATURE_DIM = 33
+SENTINEL = 1.0e6
+REAL_D2_MAX = 1.0e10
+
+
+def _bisect_tau_local(d2, real, k: int, log_lo, log_hi, steps: int = 10):
+    """Per-query threshold tau with ``count(d2 <= tau) >= k`` via log-space
+    bisection on the neighbor-count CDF over ONE tile's distance rows
+    (d2: (TQ, 2B), already materialized — each step is a fused reduce).
+    Returns tau (TQ,) clamped to exp(log_hi)."""
+    shape = d2.shape[:-1]
+    llo = jnp.full(shape, jnp.float32(log_lo))
+    lhi = jnp.full(shape, jnp.float32(log_hi))
+    for _ in range(steps):                       # static unroll keeps fusion
+        lmid = 0.5 * (llo + lhi)
+        c = jnp.sum(real & (d2 <= jnp.exp(lmid)[:, None]), axis=-1)
+        geq = c >= k
+        llo = jnp.where(geq, llo, lmid)
+        lhi = jnp.where(geq, lmid, lhi)
+    return jnp.exp(lhi)
+
+
+def _pair_features_tile(q, nq, b, nb):
+    """Darboux pair features between a query tile and its band slab.
+
+    q, nq: (TQ, 3); b, nb: (2B, 3).  Returns f1, f2, f3 with shape (TQ, 2B).
+    Same math as ops/fpfh._pair_features (Open3D's ComputePairFeatures with
+    the source/target swap), expressed over a dense tile."""
+    d = b[None, :, :] - q[:, None, :]                      # (TQ, 2B, 3)
+    dist = jnp.linalg.norm(d, axis=-1)
+    dn = d / jnp.maximum(dist[..., None], 1e-12)
+
+    n1 = jnp.broadcast_to(nq[:, None, :], d.shape)
+    n2 = jnp.broadcast_to(nb[None, :, :], d.shape)
+    a1 = jnp.sum(n1 * dn, axis=-1)
+    a2 = jnp.sum(n2 * dn, axis=-1)
+    swap = jnp.abs(a2) > jnp.abs(a1)
+    u = jnp.where(swap[..., None], n2, n1)
+    nt = jnp.where(swap[..., None], n1, n2)
+    dn_eff = jnp.where(swap[..., None], -dn, dn)
+    f2 = jnp.sum(u * dn_eff, axis=-1)
+
+    v = jnp.cross(dn_eff, u)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    w = jnp.cross(u, v)
+    f1 = jnp.sum(v * nt, axis=-1)
+    f3 = jnp.arctan2(jnp.sum(w * nt, axis=-1), jnp.sum(u * nt, axis=-1))
+    return f1, f2, f3
+
+
+def _hist_tile(f, lo, hi, w):
+    """(TQ, 2B) features + weights -> (TQ, 11) histograms via 11 masked
+    reductions (no one-hot tensor is ever materialized)."""
+    bins = jnp.clip(
+        jnp.floor(N_BINS * (f - lo) / (hi - lo)).astype(jnp.int32),
+        0, N_BINS - 1)
+    return jnp.stack(
+        [jnp.sum(jnp.where(bins == b, w, 0.0), axis=-1) for b in range(N_BINS)],
+        axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_tile", "band", "normal_k", "max_nn"))
+def fgr_features_sorted(
+    c: Cloud,
+    voxel_size,
+    q_tile: int = 512,
+    band: int = 4096,
+    normal_k: int = 20,
+    max_nn: int = 200,
+    normals_in=None,
+):
+    """Banded gather-free stage-1 preprocessing.
+
+    Returns ``(cloud, fpfh)`` where ``cloud`` holds the SAME valid points in
+    sorted-sweep-axis order with normals (nz >= 0 sign convention, matching
+    ops/normals) and covariances, and ``fpfh`` is the (N, 33) feature array
+    in the same sorted order.  A ``Cloud`` is an orderless set, so downstream
+    FGR matching/GNC consumes this directly.
+
+    ``normals_in``: optional (N, 3) precomputed normals in INPUT order —
+    skips the banded estimation (used by oracle tests, which need known
+    non-degenerate normals).
+    """
+    points, mask = c.points, c.mask
+    n = points.shape[0]
+    v = jnp.float32(voxel_size)
+
+    # --- one sort along the largest-extent axis --------------------------
+    p = jnp.where(mask[:, None], points, SENTINEL)
+    big = jnp.float32(3e38)
+    pmax = jnp.max(jnp.where(mask[:, None], points, -big), axis=0)
+    pmin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
+    axis = jnp.argmax(pmax - pmin)
+    pa = p @ (jnp.arange(3) == axis).astype(p.dtype)
+    order = jnp.argsort(pa).astype(jnp.int32)
+    ps = p[order]
+    ms = mask[order]
+
+    n_pad = -(-n // q_tile) * q_tile
+    nr_pad = (-(-n // band) + 1) * band
+    p_q = jnp.pad(ps, ((0, n_pad - n), (0, 0)), constant_values=SENTINEL)
+    p_r = jnp.pad(ps, ((0, nr_pad - n), (0, 0)), constant_values=SENTINEL)
+    n_tiles = n_pad // q_tile
+
+    tile_start_row = jnp.arange(n_tiles, dtype=jnp.int32) * q_tile
+    start_blk = jnp.clip((tile_start_row - (2 * band - q_tile) // 2) // band,
+                         0, jnp.maximum(nr_pad // band - 2, 0))
+    starts_el = start_blk * band
+    rows = starts_el[:, None] + jnp.arange(2 * band, dtype=jnp.int32)[None, :]
+    bands = p_r[rows]                                    # (T, 2B, 3) slabs
+    band_n2 = jnp.sum(bands * bands, axis=-1)
+    band_real = band_n2 < REAL_D2_MAX
+    q_t = p_q.reshape(n_tiles, q_tile, 3)
+    qn = jnp.sum(q_t * q_t, axis=-1)
+
+    log_lo = 2.0 * jnp.log(0.05 * v)
+    radius2 = (10.0 * v) ** 2
+    # Self-exclusion: the f32 matmul-metric d2 of a point with itself is
+    # ~1e-7, not 0, so `d2t > 0` alone misses it — mask the query's own band
+    # column explicitly (its position = global sorted row - band start).
+    band_col = jnp.arange(2 * band, dtype=jnp.int32)
+    self_col = (jnp.arange(n_pad, dtype=jnp.int32).reshape(n_tiles, q_tile)
+                - starts_el[:, None])
+
+    def tile_d2(q, b):
+        cross = jnp.dot(q, b.T, preferred_element_type=jnp.float32)
+        return (jnp.sum(q * q, axis=1)[:, None]
+                + jnp.sum(b * b, axis=1)[None, :] - 2.0 * cross)
+
+    # Each tile pass computes its d2 once and runs bisection + the weighted
+    # reduction on it in-place: three full passes over the band tiles total
+    # (normals, SPFH, FPFH) instead of five (each bisection used to be its
+    # own pass) — the op is HBM-traffic-bound, so passes are wall-clock.
+
+    # --- pass 1 — normals: Hybrid(2v, normal_k incl self) moments --------
+    if normals_in is not None:
+        normals = normals_in[order]
+        cov = jnp.zeros((n, 3, 3), jnp.float32)
+    else:
+        def normals_tile(args):
+            q, b, breal = args
+            d2t = tile_d2(q, b)
+            real = breal[None, :]
+            tau_n = _bisect_tau_local(d2t, real, normal_k, log_lo,
+                                      2.0 * jnp.log(2.0 * v))
+            w_nrm = real & (d2t <= tau_n[:, None])
+            center = jnp.sum(jnp.where(breal[:, None], b, 0.0), axis=0)
+            center = center / jnp.maximum(jnp.sum(breal), 1)
+            bc = b - center[None, :]
+            feats10 = jnp.concatenate(
+                [
+                    bc,
+                    bc[:, 0:1] * bc,
+                    bc[:, 1:2] * bc[:, 1:3],
+                    bc[:, 2:3] * bc[:, 2:3],
+                    jnp.ones(bc.shape[:-1] + (1,), bc.dtype),
+                ],
+                axis=-1)
+            return jnp.dot(w_nrm.astype(jnp.float32), feats10,
+                           preferred_element_type=jnp.float32)
+
+        S = jax.lax.map(
+            normals_tile, (q_t, bands, band_real)
+        ).reshape(n_pad, 10)[:n]
+        cnt_n = jnp.maximum(S[:, 9], 1.0)
+        m1 = S[:, 0:3] / cnt_n[:, None]
+        xx = S[:, 3], S[:, 4], S[:, 5], S[:, 6], S[:, 7], S[:, 8]
+        exx = jnp.stack(
+            [jnp.stack([xx[0], xx[1], xx[2]], axis=-1),
+             jnp.stack([xx[1], xx[3], xx[4]], axis=-1),
+             jnp.stack([xx[2], xx[4], xx[5]], axis=-1)],
+            axis=-2) / cnt_n[:, None, None]
+        cov = exx - m1[:, :, None] * m1[:, None, :]
+        enough = S[:, 9] >= 3
+        normals = eigen3.smallest_eigenvector(cov)
+        flip = (normals[:, 2] < 0) | ((normals[:, 2] == 0) & (normals[:, 0] < 0))
+        normals = jnp.where(flip[:, None], -normals, normals)
+        normals = jnp.where((enough & ms)[:, None], normals, 0.0)
+
+    # --- pass 2 — SPFH: Hybrid(10v, max_nn excl self) accumulation -------
+    nrm_pad = jnp.pad(normals, ((0, nr_pad - n), (0, 0)))
+    nrm_bands = nrm_pad[rows]                            # (T, 2B, 3) slabs
+    nq_t = jnp.pad(normals, ((0, n_pad - n), (0, 0))).reshape(n_tiles, q_tile, 3)
+
+    def spfh_tile(args):
+        q, nq, b, nb, breal, sc = args
+        d2t = tile_d2(q, b)
+        tau = jnp.minimum(
+            _bisect_tau_local(d2t, breal[None, :], max_nn + 1, log_lo,
+                              2.0 * jnp.log(10.0 * v)),
+            radius2)
+        keep = (breal[None, :] & (d2t <= tau[:, None]) & (d2t > 0.0)
+                & (band_col[None, :] != sc[:, None]))
+        w = keep.astype(jnp.float32)
+        cnt = jnp.sum(w, axis=1)
+        incr = jnp.where(cnt > 0, 100.0 / jnp.maximum(cnt, 1.0), 0.0)
+        f1, f2, f3 = _pair_features_tile(q, nq, b, nb)
+        wh = w * incr[:, None]
+        return jnp.concatenate(
+            [
+                _hist_tile(f1, -1.0, 1.0, wh),
+                _hist_tile(f2, -1.0, 1.0, wh),
+                _hist_tile(f3, -jnp.pi, jnp.pi, wh),
+            ],
+            axis=1), tau
+
+    spfh, tau_f = jax.lax.map(
+        spfh_tile, (q_t, nq_t, bands, nrm_bands, band_real, self_col))
+    spfh = spfh.reshape(n_pad, FEATURE_DIM)[:n]
+
+    # --- pass 3 — FPFH: 1/d2-weighted neighbor SPFH sum, banded matmul ---
+    spfh_pad = jnp.pad(spfh, ((0, nr_pad - n), (0, 0)))
+    spfh_bands = spfh_pad[rows]                          # (T, 2B, 33) slabs
+
+    def fpfh_tile(args):
+        q, b, breal, tau, sb, sc = args
+        d2t = tile_d2(q, b)
+        keep = (breal[None, :] & (d2t <= tau[:, None]) & (d2t > 0.0)
+                & (band_col[None, :] != sc[:, None]))
+        W = jnp.where(keep, 1.0 / jnp.maximum(d2t, 1e-12), 0.0)
+        return jnp.dot(W, sb, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.map(
+        fpfh_tile, (q_t, bands, band_real, tau_f, spfh_bands, self_col)
+    ).reshape(n_pad, FEATURE_DIM)[:n]
+
+    blocks = acc.reshape(-1, 3, N_BINS)
+    sums = jnp.sum(blocks, axis=-1, keepdims=True)
+    blocks = jnp.where(sums > 0, blocks * (100.0 / jnp.maximum(sums, 1e-12)), 0.0)
+    feat = blocks.reshape(-1, FEATURE_DIM) + spfh
+    feat = jnp.where(ms[:, None], feat, 0.0)
+
+    out = Cloud(points=jnp.where(ms[:, None], ps, PAD_COORD), mask=ms,
+                normals=normals, covariances=cov)
+    return out, feat
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "band"))
+def batched_fgr_features_sorted(clouds: Cloud, voxel_size,
+                                q_tile: int = 512, band: int = 2048):
+    """vmapped ``fgr_features_sorted`` over stacked scans (leading dim B) —
+    the banded counterpart of ``fgr.batched_fgr_features`` for the chunked
+    stage-1 runners."""
+    return jax.vmap(
+        lambda c: fgr_features_sorted(c, voxel_size, q_tile=q_tile, band=band)
+    )(clouds)

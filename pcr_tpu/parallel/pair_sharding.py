@@ -56,34 +56,45 @@ def sharded_mgicp(mesh: Mesh, src: Cloud, tgt: Cloud, T_init, **kw):
 
 
 def sharded_fgr(mesh: Mesh, src: Cloud, tgt: Cloud, feat_src, feat_tgt,
-                seeds, opts, n_trials: int = 16384):
+                seeds, opts, n_trials: int = 16384, max_tuples=None):
     """shard_map of stage-1 FGR over the 'pairs' axis: each device runs its
     shard of the circuit's pairs through the vmapped match/tuple-test/GNC
     (SURVEY §2.4 pair-parallelism row — the reference's hottest serial loop,
-    1_...py:134-147).  Pair batch must be divisible by the mesh axis size."""
+    1_...py:134-147).  Pair batch must be divisible by the mesh axis size.
+    ``max_tuples``: optional (B,) per-pair tuple-count caps, sharded with the
+    pairs (config parity with the serial runner's per-pair-bucket options)."""
     n_dev = mesh.shape["pairs"]
     if seeds.shape[0] % n_dev != 0:
         raise ValueError(f"pair batch {seeds.shape[0]} not divisible by mesh axis {n_dev}")
+    if max_tuples is None:
+        max_tuples = jnp.full(
+            (seeds.shape[0],), opts.maximum_tuple_count, jnp.int32)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("pairs"),) * 5,
+        in_specs=(P("pairs"),) * 6,
         out_specs=P("pairs"),
         check_vma=False,  # scan carries inside knn are shard-local constants
     )
-    def run(src_s, tgt_s, fs_s, ft_s, seed_s):
+    def run(src_s, tgt_s, fs_s, ft_s, seed_s, mt_s):
         return fgr_mod.batched_registration_fgr(
-            src_s, tgt_s, fs_s, ft_s, opts, seed_s, n_trials)
+            src_s, tgt_s, fs_s, ft_s, opts, seed_s, n_trials, mt_s)
 
-    return run(src, tgt, feat_src, feat_tgt, jnp.asarray(seeds))
+    return run(src, tgt, feat_src, feat_tgt, jnp.asarray(seeds),
+               jnp.asarray(max_tuples))
 
 
-def sharded_fgr_features(mesh: Mesh, clouds: Cloud, voxel_size):
+def sharded_fgr_features(mesh: Mesh, clouds: Cloud, voxel_size,
+                         features: str = "banded", band: int = 2048):
     """shard_map of per-scan FGR preprocessing (normals + FPFH) over 'pairs':
     the B+1 scans of a pair chunk are featurized one-per-device-slot, then the
     stacked result is returned replicated for src/tgt slicing.  Scan batch
-    must be divisible by the mesh axis size (pad by repeating a scan)."""
+    must be divisible by the mesh axis size (pad by repeating a scan).
+    ``features`` selects the banded gather-free path or the selection path
+    (PipelineConfig.stage1_features)."""
+    from ..ops import fpfh_sorted
+
     n_dev = mesh.shape["pairs"]
     if clouds.points.shape[0] % n_dev != 0:
         raise ValueError(
@@ -97,6 +108,9 @@ def sharded_fgr_features(mesh: Mesh, clouds: Cloud, voxel_size):
         check_vma=False,
     )
     def run(c_s):
+        if features == "banded":
+            return fpfh_sorted.batched_fgr_features_sorted(
+                c_s, voxel_size, band=band)
         return fgr_mod.batched_fgr_features(c_s, voxel_size)
 
     return run(clouds)

@@ -158,3 +158,54 @@ def point_sharded_multiscale_gicp(mesh: Mesh, src_pyr, tgt_pyr, T_init, *,
             axis=axis, loss=loss, max_iteration=iterations, **kw)
         T = result.transformation
     return result
+
+
+def sharded_gicp_2d(mesh: Mesh, source, target, max_corr_dist, T_init, **kw):
+    """Combined pairs x points sharding — the ``make_2d_mesh`` consumer
+    (SURVEY §2.4: Courtyard-scale circuits need both axes at once).
+
+    The pair batch is sharded over the ``pairs`` axis AND every pair's
+    source rows over the ``points`` axis: each device runs the GICP
+    while_loop on its (pair shard, row shard) block, psum-reducing the 6x6
+    normal equations over ``points`` each iteration (the inner axis_name
+    collective is batched by vmap over the local pair shard).
+
+    source: stacked Cloud (B, N, ...); target replicated along ``points``;
+    T_init (B, 4, 4).  B must divide by mesh.shape['pairs'], N by
+    mesh.shape['points'].  Matches ``pair_sharding.batched_gicp`` on one
+    device up to psum summation order.
+    """
+    from ..models import gicp as gicp_mod
+    from ..utils.cloud import Cloud
+
+    n_pairs = mesh.shape["pairs"]
+    n_pts = mesh.shape["points"]
+    if T_init.shape[0] % n_pairs != 0:
+        raise ValueError(
+            f"pair batch {T_init.shape[0]} not divisible by 'pairs' axis {n_pairs}")
+    if source.capacity % n_pts != 0:
+        raise ValueError(
+            f"source capacity {source.capacity} not divisible by 'points' axis {n_pts}")
+
+    def cloud_spec(c, spec_rows):
+        # mirror the cloud's None pattern (None leaves are empty pytree nodes)
+        opt = lambda x: None if x is None else spec_rows
+        return Cloud(points=spec_rows, mask=spec_rows, normals=opt(c.normals),
+                     covariances=opt(c.covariances), colors=opt(c.colors))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(cloud_spec(source, P("pairs", "points")),
+                  cloud_spec(target, P("pairs")), P("pairs")),
+        out_specs=P("pairs"),
+        check_vma=False,
+    )
+    def run(src_s, tgt_s, T_s):
+        def one(s, t, T0):
+            return gicp_mod.registration_gicp(
+                s, t, max_corr_dist, T0, axis_name="points", **kw)
+
+        return jax.vmap(one)(src_s, tgt_s, T_s)
+
+    return run(source, target, jnp.asarray(T_init, jnp.float32))

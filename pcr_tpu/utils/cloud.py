@@ -171,7 +171,13 @@ def compact(c: Cloud, capacity: int) -> Cloud:
     the overlap region a registration needs.  The stride keeps coverage
     spatially uniform (the deterministic analogue of the reference's random
     downsampling, ALL_FUNCTIONS.py:236).
+
+    ``capacity >= c.capacity`` is a no-op (matching pad_to's early return):
+    without the guard the arange indices would clamp in JAX's gather and
+    silently duplicate the last slot.
     """
+    if capacity >= c.capacity:
+        return c
     order = jnp.argsort(~c.mask, stable=True)  # valid first, stable
     n_valid = jnp.sum(c.mask.astype(jnp.int32))
     ar = jnp.arange(capacity, dtype=jnp.int32)
