@@ -78,7 +78,7 @@ def main(root="outputs", sweep=False):
         from pcr_tpu import pipeline
         from pcr_tpu.utils import cloud as cloud_mod
 
-        clouds = cloud_mod.load_dataset("NCLT", indices=range(n))
+        clouds = cloud_mod.load_dataset_lazy("NCLT", indices=range(n))
         fit, rmse = pipeline.evaluate_circuit(clouds, s2, max_dist=0.2)
         out["stage2_sweep"] = {
             "fitness_mean": float(fit.mean()), "fitness_median": float(np.median(fit)),

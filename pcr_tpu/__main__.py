@@ -153,7 +153,7 @@ def main(argv=None) -> int:
         from .utils import cloud as cloud_mod
 
         metrics = pipeline.PairMetrics()
-        clouds = cloud_mod.load_dataset(cfg.dataset, indices=range(n))
+        clouds = pipeline._load_circuit_clouds(cfg, range(n))
         rel1 = pipeline.run_stage1_fgr(cfg, clouds=clouds, n=n, metrics=metrics,
                                        mesh=mesh)
         rel2 = pipeline.run_stage2_mgicp(

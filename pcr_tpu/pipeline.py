@@ -126,8 +126,16 @@ class PairMetrics:
         return sum(1 for r in rows if r[key] > gate) / len(rows)
 
 
-def _load_circuit_clouds(cfg: PipelineConfig, indices=None) -> list[cloud_mod.Cloud]:
-    return cloud_mod.load_dataset(cfg.dataset, indices=indices)
+def _load_circuit_clouds(cfg: PipelineConfig, indices=None):
+    """Dataset loader for the circuit runners.  Large circuits stream:
+    host-parse everything, upload scans lazily inside the compute loop
+    (cloud.LazyClouds) — a monolithic up-front device transfer of 901 padded
+    NCLT scans is ~380 MB and serializes ahead of all compute."""
+    idx = list(indices) if indices is not None else list(
+        range(poses_io.CIRCUIT_SIZES[cfg.dataset]))
+    if len(idx) > 32:
+        return cloud_mod.load_dataset_lazy(cfg.dataset, indices=idx)
+    return cloud_mod.load_dataset(cfg.dataset, indices=idx)
 
 
 def _pad_feat(feat, capacity: int):

@@ -159,6 +159,115 @@ def load_dataset(dataset: str, indices=None, capacity: int | None = None) -> lis
     return [load_cloud(p, capacity=cap) for p in paths]
 
 
+def load_dataset_host(dataset: str, indices=None,
+                      capacity: int | None = None) -> list[Cloud]:
+    """``load_dataset`` but NUMPY-backed: scans are parsed into padded host
+    arrays with zero device traffic.  Host-side consumers (plan_scale_caps,
+    LazyClouds) start from here."""
+    import os
+
+    from . import poses_io
+    from .. import native
+
+    n = poses_io.CIRCUIT_SIZES[dataset]
+    if indices is None:
+        indices = range(n)
+    cap = capacity or BUCKETS[dataset]
+    paths = [poses_io.reference_cloud_path(dataset, i) for i in indices]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"{dataset}: {len(missing)} of {len(paths)} requested scans are "
+            f"not on disk (e.g. {os.path.basename(missing[0])}); available "
+            f"indices: {available_indices(dataset)} — pass indices=[...]"
+        )
+    if native.available():
+        try:
+            pts, mask, cols, _ = native.read_pcd_batch_padded(paths, cap, PAD_COORD)
+            return [
+                Cloud(points=pts[b], mask=mask[b],
+                      colors=None if cols is None else cols[b])
+                for b in range(len(paths))
+            ]
+        except RuntimeError:
+            pass
+    out = []
+    from . import pcd
+
+    for p in paths:
+        data = pcd.read_pcd(p)
+        pp = np.full((cap, 3), PAD_COORD, np.float32)
+        pp[: len(data.points)] = data.points
+        m = np.zeros((cap,), bool)
+        m[: len(data.points)] = True
+        cols = None
+        if data.colors is not None:
+            cols = np.zeros((cap, 3), np.float32)
+            cols[: len(data.points)] = data.colors
+        out.append(Cloud(points=pp, mask=m, colors=cols))
+    return out
+
+
+class LazyClouds:
+    """Host-resident dataset with lazy per-scan device upload (sliding LRU).
+
+    ``load_dataset`` eagerly uploads every padded scan — ~380 MB for the 901
+    NCLT scans at the 32k bucket, a monolithic up-front transfer that takes
+    minutes when the remote-TPU tunnel is congested and serializes ahead of
+    any compute.  This container keeps the dataset on the HOST (numpy, from
+    the native threaded reader) and uploads a scan on first ``[i]`` access,
+    retaining the ``keep`` most recently used on device: the circuit runners
+    touch scans in a sliding window, so uploads stream inside the compute
+    loop (hidden behind the pipelined dispatch window) instead of blocking
+    the start of the run.
+
+    Iteration yields the HOST clouds — host-side planners
+    (``plan_scale_caps``, ``bucket_capacity``) read numpy for free; indexing
+    returns DEVICE clouds for the compute path.
+    """
+
+    def __init__(self, host_clouds: list[Cloud], keep: int = 8):
+        self._host = host_clouds
+        self._keep = max(int(keep), 2)
+        self._cache: dict[int, Cloud] = {}
+        self._order: list[int] = []
+
+    def __len__(self) -> int:
+        return len(self._host)
+
+    def __iter__(self):
+        return iter(self._host)
+
+    def host(self, i: int) -> Cloud:
+        return self._host[i]
+
+    def __getitem__(self, i: int) -> Cloud:
+        i = int(i)
+        if i in self._cache:
+            self._order.remove(i)
+            self._order.append(i)
+            return self._cache[i]
+        h = self._host[i]
+        dev = Cloud(
+            points=jnp.asarray(h.points), mask=jnp.asarray(h.mask),
+            normals=None if h.normals is None else jnp.asarray(h.normals),
+            covariances=(None if h.covariances is None
+                         else jnp.asarray(h.covariances)),
+            colors=None if h.colors is None else jnp.asarray(h.colors),
+        )
+        self._cache[i] = dev
+        self._order.append(i)
+        while len(self._order) > self._keep:
+            del self._cache[self._order.pop(0)]
+        return dev
+
+
+def load_dataset_lazy(dataset: str, indices=None, capacity: int | None = None,
+                      keep: int = 8) -> LazyClouds:
+    """Host-parse the dataset and wrap it in a LazyClouds streamer."""
+    return LazyClouds(load_dataset_host(dataset, indices, capacity), keep=keep)
+
+
 def compact(c: Cloud, capacity: int) -> Cloud:
     """Permute valid points to the front and slice to a smaller static capacity.
 
@@ -239,7 +348,10 @@ def bucket_capacity(c: Cloud, granularity: int = 4096) -> int:
     bucket instead of the dataset-wide one (NCLT: mean 21k valid in the 32k
     bucket) cuts the stage-1 hot path ~40% at the cost of one XLA compile per
     distinct bucket (cached persistently)."""
-    nv = int(np.asarray(jax.device_get(c.count())))
+    if isinstance(c.mask, np.ndarray):  # host cloud: no device round trip
+        nv = int(c.mask.sum())
+    else:
+        nv = int(np.asarray(jax.device_get(c.count())))
     return min(c.capacity, max(granularity, -(-nv // granularity) * granularity))
 
 

@@ -104,3 +104,27 @@ def test_nclt_circuit_closure_matches_survey():
         r_norm = np.linalg.norm(closure[:3, :3] - np.eye(3))
         assert abs(t_norm - t_expect) / t_expect < 0.02, (t_norm, t_expect)
         assert abs(r_norm - r_expect) / r_expect < 0.05, (r_norm, r_expect)
+
+
+def test_lazy_clouds_streaming():
+    """LazyClouds: host iteration yields numpy-backed clouds (no device
+    traffic for planners), indexing yields device clouds with LRU eviction,
+    and indexed content matches the eager loader."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pcr_tpu.utils import cloud as cloud_mod
+
+    lz = cloud_mod.load_dataset_lazy("Facade", indices=[0, 1, 2], keep=2)
+    assert len(lz) == 3
+    for h in lz:  # host side
+        assert isinstance(h.points, np.ndarray) and isinstance(h.mask, np.ndarray)
+    d0 = lz[0]
+    assert isinstance(d0.points, jnp.ndarray)
+    _ = lz[1]
+    _ = lz[2]                       # evicts 0 (keep=2)
+    assert 0 not in lz._cache and {1, 2} <= set(lz._cache)
+    d0b = lz[0]                     # re-upload works
+    eager = cloud_mod.load_dataset("Facade", indices=[0])[0]
+    np.testing.assert_array_equal(np.asarray(d0b.points), np.asarray(eager.points))
+    np.testing.assert_array_equal(np.asarray(d0b.mask), np.asarray(eager.mask))
