@@ -129,6 +129,16 @@ def main(root="outputs", sweep=False):
                 k: v for k, v in cons.items() if isinstance(v, float)},
             "beats_raw_chain_dt_max": bool(cons["dt_max_m"] < raw_cons["dt_max_m"]),
         }
+        if sweep and clouds is not None:
+            from pcr_tpu import pipeline
+
+            rel_m = np.asarray(se3.absolute_to_relative_circuit(poses))
+            fit, rmse = pipeline.evaluate_circuit(clouds, rel_m, max_dist=0.2)
+            methods[m]["sweep"] = {
+                "fitness_mean": float(fit.mean()),
+                "fitness_closure_edge": float(fit[-1]),
+                "rmse_mean": float(rmse.mean()),
+            }
     if ate:
         winner = min(ate, key=lambda m: ate[m]["dt_mean_m"])
         out["stage3_ate_vs_fixture_chain"] = {
@@ -142,16 +152,6 @@ def main(root="outputs", sweep=False):
         methods["SLERP"]["closure_edge_note"] = (
             "closure-edge dt growth is inherent to the reference SLERP "
             "algorithm (rotation-only adjustment re-chains translations)")
-        if sweep and clouds is not None:
-            from pcr_tpu import pipeline
-
-            rel_m = np.asarray(se3.absolute_to_relative_circuit(poses))
-            fit, rmse = pipeline.evaluate_circuit(clouds, rel_m, max_dist=0.2)
-            methods[m]["sweep"] = {
-                "fitness_mean": float(fit.mean()),
-                "fitness_closure_edge": float(fit[-1]),
-                "rmse_mean": float(rmse.mean()),
-            }
     # the solver's own pruning decision, persisted by run_stage3_global
     cons_path = os.path.join(root, "metrics", "NCLT", "stage3_consistency.json")
     if os.path.exists(cons_path):
