@@ -94,11 +94,15 @@ def main(root="outputs", sweep=False):
             chained_std, s2, convention="standard").items()
         if isinstance(v, float)}
     # ATE target: the composed FGR_GICP *fixture* chain — the agreed
-    # groundtruth stand-in (BASELINE.md; the 3_...py:368-372 analogue).  Each
-    # method is compared against the fixture chain composed in the method's
-    # own convention (the closed forms live in the reference's reversed-order
-    # chain; the pose graph in standard SE(3) — mixing them would charge the
-    # ~55 m convention gap as trajectory error).
+    # groundtruth stand-in (BASELINE.md; the 3_...py:368-372 analogue).  The
+    # reference scores all four methods against ONE trajectory; our methods
+    # live in two composition conventions whose chains diverge ~55 m on NCLT,
+    # so a single-ruler ranking (VERDICT r4 item 1) needs BOTH raw targets
+    # plus the target-invariant ruler: SE(3)-Umeyama-ALIGNED ATE
+    # (eval_mod.aligned_ate), which removes the global-frame gauge and lets
+    # every method be scored against each physical target curve on equal
+    # footing.  Per-method blocks carry all rulers; winners are declared per
+    # ruler, and `winner_all_rulers` only when one method sweeps.
     fixture_chain_ref = np.asarray(se3.relative_to_absolute(r2))
     fixture_chain_std = np.asarray(se3.relative_to_absolute_standard(r2))
     ate = {}
@@ -112,13 +116,18 @@ def main(root="outputs", sweep=False):
         poses = poses_io.load_absolute_poses(d, n)
         dev = np.linalg.norm(poses[:, :3, 3] - base[:, :3, 3], axis=1)
         cons = eval_mod.circuit_edge_consistency(poses, s2, convention=conv)
-        dR_f, dt_f = se3.pose_errors(poses, fix)
-        dR_f, dt_f = np.asarray(dR_f), np.asarray(dt_f)
-        ate[m] = {
-            "dt_mean_m": float(dt_f.mean()), "dt_median_m": float(np.median(dt_f)),
-            "dt_max_m": float(dt_f.max()),
-            "dR_mean": float(dR_f.mean()), "dR_max": float(dR_f.max()),
-        }
+        ate[m] = {"native_convention": conv}
+        for tgt_name, tgt in (("ref_chain", fixture_chain_ref),
+                              ("std_chain", fixture_chain_std)):
+            dR_f, dt_f = se3.pose_errors(poses, tgt)
+            dR_f, dt_f = np.asarray(dR_f), np.asarray(dt_f)
+            ate[m][f"vs_{tgt_name}"] = {
+                "dt_mean_m": float(dt_f.mean()),
+                "dt_median_m": float(np.median(dt_f)),
+                "dt_max_m": float(dt_f.max()),
+                "dR_mean": float(dR_f.mean()), "dR_max": float(dR_f.max()),
+            }
+            ate[m][f"aligned_vs_{tgt_name}"] = eval_mod.aligned_ate(poses, tgt)
         methods[m] = {
             "finite": bool(np.isfinite(poses).all()),
             "node0_is_identity": bool(np.abs(poses[0] - np.eye(4)).max() < 1e-6),
@@ -140,9 +149,27 @@ def main(root="outputs", sweep=False):
                 "rmse_mean": float(rmse.mean()),
             }
     if ate:
-        winner = min(ate, key=lambda m: ate[m]["dt_mean_m"])
-        out["stage3_ate_vs_fixture_chain"] = {
-            **ate, "winner_by_dt_mean": winner}
+        # per-ruler winners; the headline claim is earned only if one method
+        # sweeps every shared ruler (both raw targets + both aligned ATEs)
+        winners = {
+            "winner_native_convention": min(
+                ate, key=lambda m: ate[m][
+                    "vs_std_chain" if ate[m]["native_convention"] == "standard"
+                    else "vs_ref_chain"]["dt_mean_m"]),
+            "winner_vs_ref_chain": min(
+                ate, key=lambda m: ate[m]["vs_ref_chain"]["dt_mean_m"]),
+            "winner_vs_std_chain": min(
+                ate, key=lambda m: ate[m]["vs_std_chain"]["dt_mean_m"]),
+            "winner_aligned_vs_ref_chain": min(
+                ate, key=lambda m: ate[m]["aligned_vs_ref_chain"]["rmse_m"]),
+            "winner_aligned_vs_std_chain": min(
+                ate, key=lambda m: ate[m]["aligned_vs_std_chain"]["rmse_m"]),
+        }
+        shared = {winners[k] for k in (
+            "winner_vs_ref_chain", "winner_vs_std_chain",
+            "winner_aligned_vs_ref_chain", "winner_aligned_vs_std_chain")}
+        winners["winner_all_rulers"] = shared.pop() if len(shared) == 1 else None
+        out["stage3_ate_vs_fixture_chain"] = {**ate, **winners}
     if "SLERP" in methods:
         # verified against a literal transcription of 3_...py:225-250
         # (test_refine_slerp_matches_reference_transcription): re-chaining raw
@@ -195,6 +222,11 @@ def main(root="outputs", sweep=False):
             else:
                 out[f"{stage}_metrics"]["success_rate_fitness_gt_0.4"] = (
                     float((fits > 0.4).mean()))
+                # pairs the sanity proxy flagged for inspection
+                # (pipeline._flag_stage1_outliers, VERDICT r4 weak #7)
+                flagged = [(r["src"], r["tgt"]) for r in rows
+                           if r.get("stage1_outlier")]
+                out[f"{stage}_metrics"]["outlier_flagged_pairs"] = flagged
 
     path = os.path.join(root, "NCLT_summary.json")
     with open(path, "w") as fh:

@@ -95,6 +95,36 @@ def evaluate_registration_batch(
     return jax.vmap(f, in_axes=(0, 0, None, 0))(source, target, max_dist, T)
 
 
+def aligned_ate(absolute_poses, target_poses):
+    """SE(3)-Umeyama-aligned absolute trajectory error — the standard ATE of
+    the trajectory-evaluation literature (and the target-invariant ruler the
+    reference's single-groundtruth comparison at 3_...py:368-372 implies):
+    rigidly align the estimated positions to the target positions with the
+    Kabsch/Umeyama closed form (no scale), then report translation residual
+    statistics.  Removes the global-frame gauge (which node is identity, and
+    most of the composition-convention gap between the reference's
+    reversed-rotation chain and the standard SE(3) chain), so trajectories
+    produced in EITHER convention can be scored against one physical target
+    curve.  Host-side f64 numpy.
+    """
+    import numpy as np
+
+    p = np.asarray(absolute_poses, np.float64)[:, :3, 3]
+    q = np.asarray(target_poses, np.float64)[:, :3, 3]
+    mu_p, mu_q = p.mean(axis=0), q.mean(axis=0)
+    H = (p - mu_p).T @ (q - mu_q)
+    U, _, Vt = np.linalg.svd(H)
+    S = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ S @ U.T
+    res = np.linalg.norm(q - ((p - mu_p) @ R.T + mu_q), axis=1)
+    return {
+        "rmse_m": float(np.sqrt(np.mean(res**2))),
+        "mean_m": float(res.mean()),
+        "median_m": float(np.median(res)),
+        "max_m": float(res.max()),
+    }
+
+
 def circuit_edge_consistency(absolute_poses, relative_poses,
                              convention: str = "reference"):
     """Per-edge agreement between a trajectory and the measured relative poses
@@ -127,6 +157,12 @@ def circuit_edge_consistency(absolute_poses, relative_poses,
     """
     import numpy as np
 
+    if convention not in ("reference", "standard"):
+        # a typo like 'std' would silently fall into the reference recovery
+        # and mis-score a standard-convention trajectory by the ~0.03 rad/edge
+        # conjugation gap (ADVICE r4)
+        raise ValueError(
+            f"convention must be 'reference' or 'standard', got {convention!r}")
     A = np.asarray(absolute_poses, np.float64)
     rel = np.asarray(relative_poses, np.float64)
     n = A.shape[0]

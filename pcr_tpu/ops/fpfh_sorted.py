@@ -127,6 +127,12 @@ def fgr_features_sorted(
     skips the banded estimation (used by oracle tests, which need known
     non-degenerate normals).
     """
+    if q_tile > band:
+        # With q_tile > band a query tile's own rows can fall outside its
+        # 2*band slab: self_col lands outside [0, 2*band), defeating the
+        # self-exclusion mask, and the 1/d^2 FPFH weight (d^2 ~ 1e-7 f32
+        # noise on the self point) explodes (ADVICE r4).
+        raise ValueError(f"q_tile ({q_tile}) must be <= band ({band})")
     points, mask = c.points, c.mask
     n = points.shape[0]
     v = jnp.float32(voxel_size)
@@ -152,6 +158,20 @@ def fgr_features_sorted(
     start_blk = jnp.clip((tile_start_row - (2 * band - q_tile) // 2) // band,
                          0, jnp.maximum(nr_pad // band - 2, 0))
     starts_el = start_blk * band
+    # Trace-time proof that every query row lies inside its own slab (shapes
+    # are static, so the slab placement is too): replicate the placement in
+    # numpy and check self_col in [0, 2*band) — the self-exclusion mask below
+    # silently fails otherwise (ADVICE r4).
+    import numpy as _np
+    _tsr = _np.arange(n_tiles) * q_tile
+    _se = _np.clip((_tsr - (2 * band - q_tile) // 2) // band,
+                   0, max(nr_pad // band - 2, 0)) * band
+    _sc = (_np.arange(n_pad).reshape(n_tiles, q_tile) - _se[:, None])
+    if _sc.size and not ((_sc >= 0).all() and (_sc < 2 * band).all()):
+        raise ValueError(
+            f"band slab placement broken: self_col range "
+            f"[{_sc.min()}, {_sc.max()}] outside [0, {2 * band}) "
+            f"(n={n}, q_tile={q_tile}, band={band})")
     rows = starts_el[:, None] + jnp.arange(2 * band, dtype=jnp.int32)[None, :]
     bands = p_r[rows]                                    # (T, 2B, 3) slabs
     band_n2 = jnp.sum(bands * bands, axis=-1)

@@ -230,10 +230,42 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
     while inflight:
         drain_one()
     poses = out
+    _flag_stage1_outliers(poses, metrics)
     poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR"), poses)
     metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"),
                  stage="fgr")
     return poses
+
+
+def _flag_stage1_outliers(poses: np.ndarray, metrics: PairMetrics,
+                          window: int = 10, factor: float = 3.0,
+                          slack_m: float = 0.5) -> int:
+    """Mark suspect stage-1 pairs in the metrics log (VERDICT r4 weak #7).
+
+    Cheap sanity proxy: a circuit's per-pair translation magnitudes vary
+    smoothly (consecutive scans of a moving platform), so a pair whose
+    ``|t|`` exceeds ``factor x`` the median of its ±window circuit neighbors
+    (plus an absolute slack for near-stationary stretches) is flagged
+    ``stage1_outlier`` — visible for inspection BEFORE stage 2's refinement
+    hides it.  Every fgr row gains ``t_norm_m``; flagged rows gain
+    ``stage1_outlier: true``.  Returns the number of flagged pairs."""
+    t = np.linalg.norm(np.asarray(poses)[:, :3, 3], axis=1)
+    n = len(t)
+    off = [d for d in range(-window, window + 1) if d != 0]
+    idx = (np.arange(n)[:, None] + np.asarray(off)[None, :]) % n
+    med = np.median(t[idx], axis=1)
+    flagged = t > np.maximum(factor * med, med + slack_m)
+    rows = {(r["src"], r["tgt"]): r for r in metrics.rows if r["stage"] == "fgr"}
+    count = 0
+    for k, (s, tg) in enumerate(circuit_pairs(n)):
+        r = rows.get((s, tg))
+        if r is None:
+            continue
+        r["t_norm_m"] = float(t[k])
+        if flagged[k]:
+            r["stage1_outlier"] = True
+            count += 1
+    return count
 
 
 def _run_stage1_fgr_batched(cfg: PipelineConfig, clouds, n: int,
@@ -324,6 +356,7 @@ def _run_stage1_fgr_batched(cfg: PipelineConfig, clouds, n: int,
                         float(fit[j]), float(rmse[j]), dt)
         os.makedirs(os.path.dirname(ckpt), exist_ok=True)
         np.save(ckpt, out[: start + m])  # crash-resumable partial checkpoint
+    _flag_stage1_outliers(out, metrics)
     poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR"), out)
     metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"),
                  stage="fgr")

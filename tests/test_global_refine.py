@@ -506,3 +506,38 @@ def test_refine_slerp_matches_reference_transcription(rng):
     c_ref = eval_mod.circuit_edge_consistency(ref, T_rel)
     np.testing.assert_allclose(
         c_ours["dt_closure_edge_m"], c_ref["dt_closure_edge_m"], rtol=1e-9)
+
+
+def test_circuit_edge_consistency_rejects_unknown_convention(rng):
+    """A typo like 'std' must raise, not silently score against the
+    reference recovery (ADVICE r4)."""
+    from pcr_tpu.models import evaluate as eval_mod
+
+    rel = make_circuit(rng, 5)
+    A = np.asarray(se3.relative_to_absolute(rel))
+    with pytest.raises(ValueError, match="convention"):
+        eval_mod.circuit_edge_consistency(A, rel, convention="std")
+
+
+def test_aligned_ate_gauge_invariance(rng):
+    """SE(3)-Umeyama-aligned ATE is invariant to a global rigid transform of
+    the estimated trajectory (the gauge the raw per-pose ATE is sensitive to),
+    and zero for a trajectory equal to its target up to that gauge."""
+    from pcr_tpu.models import evaluate as eval_mod
+
+    n = 40
+    target = np.stack([np.eye(4)] * n)
+    target[:, :3, 3] = rng.normal(size=(n, 3)) * 5.0
+    G = np.eye(4)
+    G[:3, :3] = random_rotation(rng)
+    G[:3, 3] = rng.normal(size=3) * 100.0
+    moved = np.einsum("ij,njk->nik", G, target)
+    # raw ATE sees the 100 m gauge; aligned ATE does not
+    _, dt_raw = se3.pose_errors(moved, target)
+    assert float(np.asarray(dt_raw).mean()) > 10.0
+    a = eval_mod.aligned_ate(moved, target)
+    assert a["rmse_m"] < 1e-6 and a["max_m"] < 1e-6
+    # and a genuinely deformed trajectory keeps a nonzero aligned residual
+    bent = target.copy()
+    bent[: n // 2, :3, 3] += np.asarray([3.0, 0.0, 0.0])
+    assert eval_mod.aligned_ate(bent, target)["rmse_m"] > 0.5

@@ -499,3 +499,25 @@ def test_full_registration_facade_k2_batched(tmp_path):
         np.asarray(bat.edge_T), np.asarray(ser.edge_T), atol=2e-3)
     np.testing.assert_allclose(
         np.asarray(bat.nodes), np.asarray(ser.nodes), atol=2e-2)
+
+
+def test_flag_stage1_outliers_marks_bad_pair():
+    """A pair whose translation magnitude blows past its circuit neighbors is
+    flagged in the metrics log before stage 2 can hide it (VERDICT r4 #7)."""
+    import numpy as np
+
+    from pcr_tpu import pipeline
+
+    n = 30
+    rng = np.random.default_rng(3)
+    poses = np.stack([np.eye(4)] * n)
+    poses[:, :3, 3] = rng.normal(scale=0.1, size=(n, 3)) + np.asarray([1.0, 0, 0])
+    poses[7, :3, 3] = [6.0, 0.5, 0.0]  # 6 m jump in a ~1 m/pair circuit
+    metrics = pipeline.PairMetrics()
+    for k, (s, t) in enumerate(pipeline.circuit_pairs(n)):
+        metrics.add("fgr", s, t, 0.8, 0.02, 0.1)
+    count = pipeline._flag_stage1_outliers(poses, metrics)
+    assert count == 1
+    flagged = [r for r in metrics.rows if r.get("stage1_outlier")]
+    assert len(flagged) == 1 and flagged[0]["src"] == 8 and flagged[0]["tgt"] == 7
+    assert all("t_norm_m" in r for r in metrics.rows)
