@@ -43,6 +43,12 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--devices", type=int, default=None,
                         help="shard pairs over the first N local devices "
                              "('pairs' mesh; default: no mesh, one device)")
+        sp.add_argument("--shard-points", type=int, default=None,
+                        help="shard each pair's source rows over N devices "
+                             "('points' mesh axis).  With --devices P this "
+                             "builds the combined (P, N) pairs x points mesh "
+                             "(stage2/full); alone on 'pair' it builds the "
+                             "1-D 'points' mesh for one TLS-scale pair")
         return sp
 
     add_common(sub.add_parser("stage1", help="FGR coarse pairwise registration"))
@@ -70,9 +76,6 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--init", default="fgr", choices=["fgr", "fixture"])
     pr.add_argument("--scales", type=int, default=5)
     pr.add_argument("--iterations", type=int, default=100)
-    pr.add_argument("--shard-points", type=int, default=None,
-                    help="shard the pair's source rows over the first N "
-                         "devices ('points' mesh) during refinement")
     r = add_common(sub.add_parser("report", help="export trajectories + error plots"))
     r.add_argument("--methods", nargs="+",
                    default=["LUM", "SLERP", "SLERP_LUM", "pose_graph"])
@@ -117,7 +120,16 @@ def main(argv=None) -> int:
     summary: dict = {"command": args.command, "n": n,
                      "config": dataclasses.asdict(cfg)}
     mesh = None
-    if getattr(args, "devices", None):
+    if (getattr(args, "devices", None) and getattr(args, "shard_points", None)
+            and args.command != "pair"):
+        # combined pairs x points mesh — every pair's source rows split over
+        # 'points' during the stage-2 solve (parallel.point_sharding
+        # .sharded_mgicp_2d)
+        from .parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_2d_mesh(args.devices, args.shard_points)
+        summary["mesh"] = {"pairs": args.devices, "points": args.shard_points}
+    elif getattr(args, "devices", None):
         from .parallel import mesh as mesh_mod
 
         mesh = mesh_mod.make_pair_mesh(args.devices)
@@ -154,12 +166,19 @@ def main(argv=None) -> int:
 
         metrics = pipeline.PairMetrics()
         clouds = pipeline._load_circuit_clouds(cfg, range(n))
-        rel1 = pipeline.run_stage1_fgr(cfg, clouds=clouds, n=n, metrics=metrics,
-                                       mesh=mesh)
-        rel2 = pipeline.run_stage2_mgicp(
-            cfg, init_poses=rel1, clouds=clouds, n=n, metrics=metrics, mesh=mesh)
-        results = pipeline.run_stage3_global(
-            cfg, relative_poses=rel2, clouds=clouds, n=n)
+        if mesh is None and cfg.batch_size <= 1:
+            # single-chip path: stage 2 streams behind stage 1 in one
+            # dispatch window (pipeline.run_full)
+            out = pipeline.run_full(cfg, clouds=clouds, n=n, metrics=metrics)
+            results = out["stage3"]
+        else:
+            rel1 = pipeline.run_stage1_fgr(cfg, clouds=clouds, n=n,
+                                           metrics=metrics, mesh=mesh)
+            rel2 = pipeline.run_stage2_mgicp(
+                cfg, init_poses=rel1, clouds=clouds, n=n, metrics=metrics,
+                mesh=mesh)
+            results = pipeline.run_stage3_global(
+                cfg, relative_poses=rel2, clouds=clouds, n=n)
         summary["methods"] = sorted(results)
         summary.update(stage2_rates(metrics))
         summary["stage1_success_rate"] = metrics.success_rate(

@@ -65,6 +65,65 @@ def _bisect_tau_local(d2, real, k: int, log_lo, log_hi, steps: int = 10):
     return jnp.exp(lhi)
 
 
+def _normals_from_moments(S, ms):
+    """(normals (n, 3), cov (n, 3, 3)) from banded neighborhood moments
+    S = [sum x | sum y | sum z | xx xy xz yy yz zz | count] (n, 10), with the
+    nz >= 0 sign convention of ops/normals and degenerate rows zeroed."""
+    cnt_n = jnp.maximum(S[:, 9], 1.0)
+    m1 = S[:, 0:3] / cnt_n[:, None]
+    xx = S[:, 3], S[:, 4], S[:, 5], S[:, 6], S[:, 7], S[:, 8]
+    exx = jnp.stack(
+        [jnp.stack([xx[0], xx[1], xx[2]], axis=-1),
+         jnp.stack([xx[1], xx[3], xx[4]], axis=-1),
+         jnp.stack([xx[2], xx[4], xx[5]], axis=-1)],
+        axis=-2) / cnt_n[:, None, None]
+    cov = exx - m1[:, :, None] * m1[:, None, :]
+    enough = S[:, 9] >= 3
+    normals = eigen3.smallest_eigenvector(cov)
+    flip = (normals[:, 2] < 0) | ((normals[:, 2] == 0) & (normals[:, 0] < 0))
+    normals = jnp.where(flip[:, None], -normals, normals)
+    normals = jnp.where((enough & ms)[:, None], normals, 0.0)
+    return normals, cov
+
+
+def _features_pallas(ps, ms, order, starts_blk, n, n_pad, nr_pad, q_tile,
+                     band, v, normal_k, max_nn, normals_in, interpret):
+    """Pallas backend for ``fgr_features_sorted``: the three band passes run
+    as fused VMEM kernels (ops/pallas/feature_kernels); this driver supplies
+    the transposed sorted arrays, slab starts, and the shared post-processing
+    (normals from moments, FPFH block normalization)."""
+    from .pallas import feature_kernels as fk
+
+    if q_tile % 128 != 0:
+        raise ValueError(f"pallas backend needs q_tile % 128 == 0, got {q_tile}")
+    qT = jnp.pad(ps, ((0, n_pad - n), (0, 0)), constant_values=SENTINEL).T
+    rT = jnp.pad(ps, ((0, nr_pad - n), (0, 0)), constant_values=SENTINEL).T
+    sblk = starts_blk.astype(jnp.int32)
+    if normals_in is not None:
+        normals = normals_in[order]
+        cov = jnp.zeros((n, 3, 3), jnp.float32)
+    else:
+        S = fk.moments_pallas(sblk, qT, rT, v, q_tile=q_tile, band=band,
+                              normal_k=normal_k, interpret=interpret)[:n]
+        normals, cov = _normals_from_moments(S, ms)
+    nqT = jnp.pad(normals, ((0, n_pad - n), (0, 0))).T
+    nrT = jnp.pad(normals, ((0, nr_pad - n), (0, 0))).T
+    spfh_pad, tau = fk.spfh_pallas(
+        sblk, qT, nqT, rT, nrT, v, q_tile=q_tile, band=band, max_nn=max_nn,
+        interpret=interpret)
+    spfh = spfh_pad[:n]
+    acc = fk.fpfh_pallas(sblk, qT, rT, tau, spfh, q_tile=q_tile, band=band,
+                         interpret=interpret)[:n]
+    blocks = acc.reshape(-1, 3, N_BINS)
+    sums = jnp.sum(blocks, axis=-1, keepdims=True)
+    blocks = jnp.where(sums > 0, blocks * (100.0 / jnp.maximum(sums, 1e-12)), 0.0)
+    feat = blocks.reshape(-1, FEATURE_DIM) + spfh
+    feat = jnp.where(ms[:, None], feat, 0.0)
+    out = Cloud(points=jnp.where(ms[:, None], ps, PAD_COORD), mask=ms,
+                normals=normals, covariances=cov)
+    return out, feat
+
+
 def _pair_features_tile(q, nq, b, nb):
     """Darboux pair features between a query tile and its band slab.
 
@@ -105,7 +164,9 @@ def _hist_tile(f, lo, hi, w):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("q_tile", "band", "normal_k", "max_nn"))
+    jax.jit,
+    static_argnames=("voxel_size", "q_tile", "band", "normal_k", "max_nn",
+                     "backend"))
 def fgr_features_sorted(
     c: Cloud,
     voxel_size,
@@ -114,6 +175,7 @@ def fgr_features_sorted(
     normal_k: int = 20,
     max_nn: int = 200,
     normals_in=None,
+    backend: str = "auto",
 ):
     """Banded gather-free stage-1 preprocessing.
 
@@ -126,6 +188,11 @@ def fgr_features_sorted(
     ``normals_in``: optional (N, 3) precomputed normals in INPUT order —
     skips the banded estimation (used by oracle tests, which need known
     non-degenerate normals).
+
+    ``backend``: 'auto' runs the fused Pallas kernels on TPU (the distance
+    tile stays in VMEM across bisection + SPFH + FPFH —
+    ops/pallas/feature_kernels) and the XLA lax.map passes elsewhere;
+    'xla' / 'pallas' / 'pallas_interpret' force a path.
     """
     if q_tile > band:
         # With q_tile > band a query tile's own rows can fall outside its
@@ -172,6 +239,16 @@ def fgr_features_sorted(
             f"band slab placement broken: self_col range "
             f"[{_sc.min()}, {_sc.max()}] outside [0, {2 * band}) "
             f"(n={n}, q_tile={q_tile}, band={band})")
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend.startswith("pallas"):
+        return _features_pallas(
+            ps, ms, order, start_blk, n, n_pad, nr_pad, q_tile, band,
+            float(voxel_size), normal_k, max_nn, normals_in,
+            interpret=(backend == "pallas_interpret"))
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
     rows = starts_el[:, None] + jnp.arange(2 * band, dtype=jnp.int32)[None, :]
     bands = p_r[rows]                                    # (T, 2B, 3) slabs
     band_n2 = jnp.sum(bands * bands, axis=-1)
@@ -228,20 +305,7 @@ def fgr_features_sorted(
         S = jax.lax.map(
             normals_tile, (q_t, bands, band_real)
         ).reshape(n_pad, 10)[:n]
-        cnt_n = jnp.maximum(S[:, 9], 1.0)
-        m1 = S[:, 0:3] / cnt_n[:, None]
-        xx = S[:, 3], S[:, 4], S[:, 5], S[:, 6], S[:, 7], S[:, 8]
-        exx = jnp.stack(
-            [jnp.stack([xx[0], xx[1], xx[2]], axis=-1),
-             jnp.stack([xx[1], xx[3], xx[4]], axis=-1),
-             jnp.stack([xx[2], xx[4], xx[5]], axis=-1)],
-            axis=-2) / cnt_n[:, None, None]
-        cov = exx - m1[:, :, None] * m1[:, None, :]
-        enough = S[:, 9] >= 3
-        normals = eigen3.smallest_eigenvector(cov)
-        flip = (normals[:, 2] < 0) | ((normals[:, 2] == 0) & (normals[:, 0] < 0))
-        normals = jnp.where(flip[:, None], -normals, normals)
-        normals = jnp.where((enough & ms)[:, None], normals, 0.0)
+        normals, cov = _normals_from_moments(S, ms)
 
     # --- pass 2 — SPFH: Hybrid(10v, max_nn excl self) accumulation -------
     nrm_pad = jnp.pad(normals, ((0, nr_pad - n), (0, 0)))
@@ -301,7 +365,8 @@ def fgr_features_sorted(
     return out, feat
 
 
-@functools.partial(jax.jit, static_argnames=("q_tile", "band"))
+@functools.partial(
+    jax.jit, static_argnames=("voxel_size", "q_tile", "band"))
 def batched_fgr_features_sorted(clouds: Cloud, voxel_size,
                                 q_tile: int = 512, band: int = 2048):
     """vmapped ``fgr_features_sorted`` over stacked scans (leading dim B) —

@@ -389,7 +389,7 @@ def _retry_pair(cfg: PipelineConfig, src_c, tgt_c, res0, src_pyr, tgt_pyr,
             best_res, best_score, status = cand, sc, f"retried_voxel_x{m:g}"
     if float(best_res.fitness) <= cfg.retry_fitness:
         status += ",low_fitness"
-    return best_res, status
+    return best_res, status, best_score
 
 
 
@@ -506,8 +506,8 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
             drain_one()
         for k, s, t, res0 in retries:  # second pass: retry ladder per failure
             t0 = time.time()
-            res, status = _retry_pair(cfg, clouds[s], clouds[t], res0,
-                                      pyramid(s), pyramid(t), seed_base=s)
+            res, status, _ = _retry_pair(cfg, clouds[s], clouds[t], res0,
+                                         pyramid(s), pyramid(t), seed_base=s)
             out[k] = np.asarray(res.transformation, np.float64)
             metrics.rows[row_of[k]] = dict(
                 stage="mgicp", src=int(s), tgt=int(t),
@@ -544,7 +544,13 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
             n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations,
             scale_capacities=caps,
         )
-        if mesh is not None:
+        if mesh is not None and "points" in mesh.axis_names:
+            # combined pairs x points mesh (CLI --devices P --shard-points Q):
+            # every pair's source rows split over 'points' during the solve
+            from .parallel import point_sharding
+
+            res = point_sharding.sharded_mgicp_2d(mesh, src, tgt, T0, **kw)
+        elif mesh is not None:
             res = pair_sharding.sharded_mgicp(mesh, src, tgt, T0, **kw)
         else:
             res = pair_sharding.batched_mgicp(src, tgt, T0, **kw)
@@ -570,8 +576,8 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
             clouds[s], n_scales=cfg.mgicp_scales, scale_capacities=caps)
         tgt_pyr = ms_mod.build_pyramid(
             clouds[t], n_scales=cfg.mgicp_scales, scale_capacities=caps)
-        res, status = _retry_pair(cfg, clouds[s], clouds[t], res0,
-                                  src_pyr, tgt_pyr, seed_base=s)
+        res, status, _ = _retry_pair(cfg, clouds[s], clouds[t], res0,
+                                     src_pyr, tgt_pyr, seed_base=s)
         out[k] = np.asarray(res.transformation, np.float64)
         metrics.rows[row_of[k]] = dict(
             stage="mgicp", src=int(s), tgt=int(t),
@@ -669,6 +675,146 @@ def run_pair(cfg: PipelineConfig, src_i: int, tgt_i: int,
     poses_io.save_pose(os.path.join(d, f"pose_{src_i}_{tgt_i}.txt"), T)
     metrics.save(os.path.join(cfg.out_dir("metrics"), f"pair_{src_i}_{tgt_i}.jsonl"))
     return out
+
+
+def run_full(cfg: PipelineConfig, clouds=None, n: int | None = None,
+             metrics: PairMetrics | None = None,
+             methods=("LUM", "SLERP", "SLERP_LUM", "pose_graph")) -> dict:
+    """Stages 1→3 with stage 2 STREAMED BEHIND stage 1 in one dispatch window
+    (VERDICT r4 item 2).
+
+    The reference's stage boundary is pose files (1_...py:176 → 2_...py:173)
+    — that contract buys restartability, not sequentiality: pair k's M-GICP
+    depends only on pair k's FGR pose, which can stay ON DEVICE.  Per pair the
+    loop dispatches FGR (per-scan banded features, cached), then M-GICP seeded
+    directly from the device-resident FGR transformation (no host round
+    trip), then the full-cloud gate evaluation at 2*voxel — so stage-2 device
+    work fills the gaps behind stage-1 dispatches, each scan uploads ONCE for
+    both stages (the sequential runners stream the dataset twice), and the
+    per-pair gate fitness rides the same window instead of the separate
+    post-hoc `_annotate_gate_fitness` sweep.  Stage checkpoints are unchanged:
+    stage-1 and stage-2 pose text files, crash-resumable partials every 50
+    pairs, and per-stage metrics jsonl all land exactly as the staged runners
+    write them.
+    """
+    n = n or poses_io.CIRCUIT_SIZES[cfg.dataset]
+    clouds = clouds or _load_circuit_clouds(cfg, range(n))
+    metrics = metrics if metrics is not None else PairMetrics()
+    pairs = circuit_pairs(n)
+    caps = cfg.scale_capacities
+    if caps == "auto":
+        caps = cloud_mod.plan_scale_caps(clouds, ms_mod.create_scales(cfg.mgicp_scales))
+    eval_dist = 2 * cfg.voxel_size
+
+    feat_cache: dict[int, tuple] = {}
+    pyr_cache: dict[int, tuple] = {}
+
+    def features(i):
+        if i not in feat_cache:
+            cc = cloud_mod.compact(
+                clouds[i],
+                cloud_mod.bucket_capacity(clouds[i], cfg.bucket_granularity))
+            if cfg.stage1_features == "banded":
+                feat_cache[i] = fpfh_sorted.fgr_features_sorted(
+                    cc, cfg.voxel_size, band=cfg.stage1_band)
+            else:
+                feat_cache[i] = fgr_mod.fgr_features(cc, cfg.voxel_size)
+        return feat_cache[i]
+
+    def pyramid(i):
+        if i not in pyr_cache:
+            pyr_cache[i] = ms_mod.build_pyramid(
+                clouds[i], n_scales=cfg.mgicp_scales, scale_capacities=caps)
+        return pyr_cache[i]
+
+    out1 = np.zeros((n, 4, 4))
+    out2 = np.zeros((n, 4, 4))
+    ckpt1 = os.path.join(cfg.out_dir("metrics"), "stage1_partial.npy")
+    ckpt2 = os.path.join(cfg.out_dir("metrics"), "stage2_partial.npy")
+    inflight: list[tuple] = []
+    retries: list[tuple] = []
+    row_of: dict[int, int] = {}
+    drained = 0
+    last_drain = time.time()
+
+    def drain_one():
+        nonlocal drained, last_drain
+        k, s, t, res1, res2, gate = inflight.pop(0)
+        out1[k] = np.asarray(res1.transformation, np.float64)
+        now = time.time()  # wall-true deltas (see run_stage1_fgr note); the
+        metrics.add("fgr", s, t, float(res1.fitness),      # fgr/mgicp split is
+                    float(res1.inlier_rmse), now - last_drain)  # fetch-ordered
+        last_drain = now
+        out2[k] = np.asarray(res2.transformation, np.float64)
+        fit = float(res2.fitness)
+        row_of[k] = len(metrics.rows)
+        now = time.time()
+        metrics.add("mgicp", s, t, fit, float(res2.inlier_rmse),
+                    now - last_drain, status="ok", gate_fitness=float(gate))
+        last_drain = now
+        if cfg.retry_failed and fit <= cfg.retry_fitness:
+            retries.append((k, s, t, res2))
+        drained = k + 1
+        if drained % 50 == 0:  # crash-resumable partial checkpoints
+            os.makedirs(os.path.dirname(ckpt1), exist_ok=True)
+            np.save(ckpt1, out1[:drained])
+            np.save(ckpt2, out2[:drained])
+            metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"),
+                         stage="fgr")
+            metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"),
+                         stage="mgicp")
+
+    for k, (s, t) in enumerate(pairs):
+        src_f, feat_src = features(s)
+        tgt_f, feat_tgt = features(t)
+        B = max(src_f.capacity, tgt_f.capacity)
+        src_p, fs = cloud_mod.pad_to(src_f, B), _pad_feat(feat_src, B)
+        tgt_p, ft = cloud_mod.pad_to(tgt_f, B), _pad_feat(feat_tgt, B)
+        opts = fgr_mod.default_options(src_p, tgt_p, cfg.voxel_size)
+        res1 = fgr_mod.registration_fgr(
+            src_p, tgt_p, fs, ft, opts, seed=cfg.fgr_seed + s)
+        res2 = ms_mod.multiscale_gicp_pyramids(
+            pyramid(s), pyramid(t), res1.transformation,
+            n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations)
+        gate, _, _ = eval_mod.evaluate_registration(
+            clouds[s], clouds[t], eval_dist, res2.transformation)
+        inflight.append((k, s, t, res1, res2, gate))
+        keep = (s, (s + 1) % n)
+        for cache in (feat_cache, pyr_cache):
+            for key in [key for key in cache if key not in keep]:
+                del cache[key]
+        while len(inflight) >= max(cfg.inflight, 1):
+            drain_one()
+    while inflight:
+        drain_one()
+
+    for k, s, t, res0 in retries:  # second pass: retry ladder per failure
+        t0 = time.time()
+        res, status, gate_sc = _retry_pair(cfg, clouds[s], clouds[t], res0,
+                                           pyramid(s), pyramid(t), seed_base=s)
+        out2[k] = np.asarray(res.transformation, np.float64)
+        metrics.rows[row_of[k]] = dict(
+            stage="mgicp", src=int(s), tgt=int(t),
+            fitness=float(res.fitness), rmse=float(res.inlier_rmse),
+            seconds=metrics.rows[row_of[k]]["seconds"] + (time.time() - t0),
+            status=status, gate_fitness=float(gate_sc))
+        keep = (s, (s + 1) % n)
+        for key in [key for key in pyr_cache if key not in keep]:
+            del pyr_cache[key]
+
+    _flag_stage1_outliers(out1, metrics)
+    poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR"), out1)
+    metrics.save(os.path.join(cfg.out_dir("metrics"), "stage1.jsonl"),
+                 stage="fgr")
+    poses_io.save_relative_circuit(cfg.out_dir("relative_poses_FGR_GICP"), out2)
+    abs_poses = se3.relative_to_absolute(out2)
+    poses_io.save_absolute_poses(
+        cfg.out_dir("absolute_poses_FGR_GICP"), np.asarray(abs_poses))
+    metrics.save(os.path.join(cfg.out_dir("metrics"), "stage2.jsonl"),
+                 stage="mgicp")
+    stage3 = run_stage3_global(cfg, relative_poses=out2, clouds=clouds, n=n,
+                               methods=methods)
+    return {"stage1": out1, "stage2": out2, "stage3": stage3}
 
 
 def run_stage3_global(cfg: PipelineConfig, relative_poses: np.ndarray | None = None,

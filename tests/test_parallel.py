@@ -241,3 +241,29 @@ def test_sharded_gicp_2d_matches_batched(rng):
         _, dt = se3.pose_errors(
             np.asarray(res_2d.transformation)[b], T_gt[b])
         assert float(dt) < 0.02
+
+
+def test_sharded_mgicp_2d_matches_batched(rng):
+    """The 2-D mesh PRODUCT path (VERDICT r4 weak #6): full multi-scale GICP
+    — per-pair preprocessing sharded over 'pairs', every scale's solve with
+    source rows split over 'points' — must match the single-device
+    batched_mgicp used by the streamed stage-2 runner."""
+    from pcr_tpu.parallel import point_sharding
+
+    src, tgt, T0, T_gt = make_pair_batch(rng, B=2, n=900, cap=1024)
+    # raw clouds (no precomputed normals): both paths preprocess per scale
+    src = src.with_(normals=None, covariances=None)
+    tgt = tgt.with_(normals=None, covariances=None)
+    caps = (256, 1024)
+    m2 = mesh_mod.make_2d_mesh(2, 4)
+    res_b = pair_sharding.batched_mgicp(
+        src, tgt, jnp.asarray(T0), n_scales=2, iterations=8,
+        scale_capacities=caps)
+    res_2d = point_sharding.sharded_mgicp_2d(
+        m2, src, tgt, T0, n_scales=2, iterations=8, scale_capacities=caps)
+    np.testing.assert_allclose(
+        np.asarray(res_2d.transformation), np.asarray(res_b.transformation),
+        atol=5e-4)
+    for b in range(2):
+        _, dt = se3.pose_errors(np.asarray(res_2d.transformation)[b], T_gt[b])
+        assert float(dt) < 0.02

@@ -521,3 +521,43 @@ def test_flag_stage1_outliers_marks_bad_pair():
     flagged = [r for r in metrics.rows if r.get("stage1_outlier")]
     assert len(flagged) == 1 and flagged[0]["src"] == 8 and flagged[0]["tgt"] == 7
     assert all("t_norm_m" in r for r in metrics.rows)
+
+
+def test_run_full_streamed_matches_staged(rng, tmp_path):
+    """VERDICT r4 item 2: the merged single-window pipeline (run_full — stage
+    2 streamed behind stage 1) must be pose-for-pose identical to the staged
+    runners (same seeds, same kernels, same order), keep the stage checkpoint
+    contract (both pose text layouts on disk), and carry the gate_fitness in
+    its stage-2 metrics rows instead of the post-hoc sweep."""
+    import json
+
+    clouds, gt = _bumpy_clouds(rng, n_clouds=4, n=800, cap=1024, step=0.3)
+    kw = dict(dataset="Facade", voxel_size=0.2, mgicp_scales=2,
+              mgicp_iterations=25)
+    cfg_staged = pipeline.PipelineConfig(
+        output_root=str(tmp_path / "staged"), batch_size=1, **kw)
+    cfg_merged = pipeline.PipelineConfig(
+        output_root=str(tmp_path / "merged"), batch_size=1, **kw)
+    rel1 = pipeline.run_stage1_fgr(cfg_staged, clouds=clouds, n=4)
+    rel2 = pipeline.run_stage2_mgicp(cfg_staged, init_poses=rel1,
+                                     clouds=clouds, n=4)
+    metrics = pipeline.PairMetrics()
+    out = pipeline.run_full(cfg_merged, clouds=clouds, n=4, metrics=metrics,
+                            methods=("LUM",))
+    np.testing.assert_allclose(out["stage1"], rel1, atol=1e-5)
+    np.testing.assert_allclose(out["stage2"], rel2, atol=1e-5)
+    # checkpoint contract: both stages' pose files in the reference layout
+    assert os.path.exists(
+        os.path.join(cfg_merged.out_dir("relative_poses_FGR"), "pose_1_0.txt"))
+    assert os.path.exists(os.path.join(
+        cfg_merged.out_dir("relative_poses_FGR_GICP"), "pose_1_0.txt"))
+    assert os.path.exists(
+        os.path.join(cfg_merged.out_dir("absolute_poses_FGR_GICP"), "pose3.txt"))
+    # in-window gate fitness on every mgicp row; outlier flags on fgr rows
+    s2_rows = [json.loads(l) for l in open(
+        os.path.join(cfg_merged.out_dir("metrics"), "stage2.jsonl"))]
+    assert all("gate_fitness" in r for r in s2_rows)
+    s1_rows = [json.loads(l) for l in open(
+        os.path.join(cfg_merged.out_dir("metrics"), "stage1.jsonl"))]
+    assert all("t_norm_m" in r for r in s1_rows)
+    assert "LUM" in out["stage3"]
