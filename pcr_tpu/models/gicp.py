@@ -353,8 +353,20 @@ def _gicp_band_sorted(
     src_n = _unit_normals(source)
     tgt_n = _unit_normals(target)
 
+    # Capacity-scaled band: per-iteration correspondence cost is
+    # nq_pad x 2*band and the solve is iteration-bound (measured ~0.5 ms/GN
+    # iteration at 17k rows, band 2048 — the sweep dominates).  nr/8 rows
+    # either side covers ~extent/4 along the sweep axis, far beyond the
+    # reference's max_correspondence_distance schedules on MLS scans; the
+    # 1024 cap halves the finest-scale sweep (NCLT needs ~17 rows of radius
+    # there).  At TLS density (Courtyard 240k) the cap deepens the existing
+    # slab truncation at coarse scales — same approximation class the
+    # committed 240k evidence already tolerates (nightly fitness guards).
+    nr0 = target.points.shape[0]
+    band = min(1024, max(512, -(-(nr0 // 8) // 256) * 256))
     p0 = se3.transform_points(T0, source.points)
-    index = band_nn.build_band_index(p0, source.mask, target.points, target.mask)
+    index = band_nn.build_band_index(p0, source.mask, target.points,
+                                     target.mask, band=band)
 
     nq = source.points.shape[0]
     nq_pad = -(-nq // q_tile) * q_tile
@@ -375,8 +387,8 @@ def _gicp_band_sorted(
     def corr_step(T):
         p = se3.transform_points(T, src_pts_s)
         d2a, i_s = band_nn.nn1_band_query_sorted(
-            index, p, src_mask_s, max_dist, q_tile=q_tile, backend=backend,
-            rescore=False)
+            index, p, src_mask_s, max_dist, q_tile=q_tile, band=band,
+            backend=backend, rescore=False)
         pack = tgt_pack[i_s]                                 # (N, 8) one gather
         q, m = pack[:, :3], pack[:, 3:6]
         d = q - p

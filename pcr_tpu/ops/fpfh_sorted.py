@@ -189,17 +189,14 @@ def fgr_features_sorted(
     skips the banded estimation (used by oracle tests, which need known
     non-degenerate normals).
 
-    ``backend``: 'auto' runs the fused Pallas kernels on TPU (the distance
-    tile stays in VMEM across bisection + SPFH + FPFH —
-    ops/pallas/feature_kernels) and the XLA lax.map passes elsewhere;
-    'xla' / 'pallas' / 'pallas_interpret' force a path.
+    ``backend``: 'auto' = 'xla' — measured on v5e the XLA lax.map passes
+    (42.9 ms/scan at the 20k bucket with static-voxel constant folding) beat
+    the fused Pallas kernels (57-58 ms; ops/pallas/feature_kernels), whose
+    VMEM-residency the XLA fusion already achieves here.  'pallas' /
+    'pallas_interpret' select the kernels (validated to the same oracle;
+    retained for configs where Mosaic scheduling may win, e.g. larger bands
+    on bigger-VMEM parts).
     """
-    if q_tile > band:
-        # With q_tile > band a query tile's own rows can fall outside its
-        # 2*band slab: self_col lands outside [0, 2*band), defeating the
-        # self-exclusion mask, and the 1/d^2 FPFH weight (d^2 ~ 1e-7 f32
-        # noise on the self point) explodes (ADVICE r4).
-        raise ValueError(f"q_tile ({q_tile}) must be <= band ({band})")
     points, mask = c.points, c.mask
     n = points.shape[0]
     v = jnp.float32(voxel_size)
@@ -227,8 +224,12 @@ def fgr_features_sorted(
     starts_el = start_blk * band
     # Trace-time proof that every query row lies inside its own slab (shapes
     # are static, so the slab placement is too): replicate the placement in
-    # numpy and check self_col in [0, 2*band) — the self-exclusion mask below
-    # silently fails otherwise (ADVICE r4).
+    # numpy and check self_col in [0, 2*band).  If a query's own row fell
+    # outside its slab the self-exclusion mask would silently fail and the
+    # 1/d^2 FPFH weight (d^2 ~ 1e-7 f32 noise on the self point) would
+    # explode (ADVICE r4).  This is the exact soundness condition — a blanket
+    # q_tile <= band requirement would wrongly reject q_tile > band configs
+    # whose tiles still land inside their slabs (e.g. q=512, band=256).
     import numpy as _np
     _tsr = _np.arange(n_tiles) * q_tile
     _se = _np.clip((_tsr - (2 * band - q_tile) // 2) // band,
@@ -241,10 +242,30 @@ def fgr_features_sorted(
             f"(n={n}, q_tile={q_tile}, band={band})")
 
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = "xla"   # measured faster than the pallas path on v5e (above)
     if backend.startswith("pallas"):
+        # The kernels re-tile at <=256-row query tiles (VMEM budget: the
+        # chunked distance scratch plus (TQ, SC) pair-feature temporaries;
+        # 512-row tiles OOM'd the 16 MB scoped-vmem limit) — independent of
+        # the XLA path's q_tile.  Slab placement is re-planned and re-proved
+        # for the pallas tile size.
+        qt_p = q_tile if (q_tile % 128 == 0 and q_tile <= 256) else 256
+        np_pad = -(-n // qt_p) * qt_p
+        nt_p = np_pad // qt_p
+        tsr_p = jnp.arange(nt_p, dtype=jnp.int32) * qt_p
+        sblk_p = jnp.clip((tsr_p - (2 * band - qt_p) // 2) // band,
+                          0, jnp.maximum(nr_pad // band - 2, 0))
+        _tsr_p = _np.arange(nt_p) * qt_p
+        _se_p = _np.clip((_tsr_p - (2 * band - qt_p) // 2) // band,
+                         0, max(nr_pad // band - 2, 0)) * band
+        _sc_p = (_np.arange(np_pad).reshape(nt_p, qt_p) - _se_p[:, None])
+        if _sc_p.size and not ((_sc_p >= 0).all() and (_sc_p < 2 * band).all()):
+            raise ValueError(
+                f"band slab placement broken for pallas tile: self_col range "
+                f"[{_sc_p.min()}, {_sc_p.max()}] outside [0, {2 * band}) "
+                f"(n={n}, q_tile={qt_p}, band={band})")
         return _features_pallas(
-            ps, ms, order, start_blk, n, n_pad, nr_pad, q_tile, band,
+            ps, ms, order, sblk_p, n, np_pad, nr_pad, qt_p, band,
             float(voxel_size), normal_k, max_nn, normals_in,
             interpret=(backend == "pallas_interpret"))
     if backend != "xla":

@@ -3,16 +3,25 @@
 The XLA banded path (``ops.fpfh_sorted``) runs three ``lax.map`` passes over
 query tiles — normals moments, SPFH, FPFH — each materializing its (TQ, 2B)
 distance tile and its Darboux pair-feature temporaries through the XLA fusion
-boundary.  Here each pass is ONE Pallas kernel: the distance tile lives in a
-VMEM scratch across the count-CDF bisection AND its consumer reduction, band
-slabs are DMA-steered by the scalar-prefetched slab starts (no gathered slab
-arrays in HBM), and the weighted reductions (moments, FPFH neighbor sum) run
-on the MXU against in-VMEM payload slabs.
+boundary.  Here each pass is ONE Pallas kernel: the distance tile is computed
+once per tile into a chunked VMEM scratch and stays resident across the
+count-CDF bisection AND its consumer reduction; band slabs are DMA-steered by
+the scalar-prefetched slab starts (no gathered slab arrays in HBM); the
+weighted reductions (moments, FPFH neighbor sum) run on the MXU against
+in-VMEM payload chunks.
+
+VMEM discipline (the first cut of this kernel OOM'd at 50 MB): nothing
+full-width except the distance scratch.  All band-wide arrays live CHUNKED as
+(n_sub, ., SC) scratches written per grid step; every consumer is a
+``fori_loop`` over chunks carrying its (TQ, .) accumulator — masks, iotas and
+pair-feature temporaries exist only at (TQ, SC).  The fori bodies also keep
+the Mosaic compile bounded (the statically-unrolled first cut took 12 min to
+compile; this version compiles in seconds-to-a-minute per bucket shape).
 
 Math notes vs the XLA twin (same semantics, same tolerances):
 
-* Mosaic has no atan2/atan lowering, so the f3 = atan2(w.nt, u.nt) histogram
-  is binned WITHOUT evaluating the angle: with r = |(c, s)|, the CDF test
+* Mosaic has no atan2/atan lowering, so the f3 = atan2(s, c) histogram is
+  binned WITHOUT evaluating the angle: with r = |(c, s)|, the CDF test
   theta >= theta_k over theta in (-pi, pi] is exactly
       theta_k > 0:  s >= 0  AND  c <= cos(theta_k) * r
       theta_k = 0:  s >= 0
@@ -24,8 +33,8 @@ Math notes vs the XLA twin (same semantics, same tolerances):
   the end (the XLA path weights each pair first — same result).
 
 Layout follows ops/pallas/nn_kernels: point/normal arrays enter TRANSPOSED
-(3, N) so only the sublane dim pads; SPFH slabs stay (N, 33) (lane dim pads
-33 -> 128 in VMEM, 2 MB per 4096-row slab).
+(3, N) so only the sublane dim pads; SPFH slabs stay (N, 48) (33 features,
+lane-padded).
 
 Reference: Open3D ``compute_fpfh_feature`` Hybrid(10v, 200) +
 ``estimate_normals`` Hybrid(2v, 20) at ``1_...py:44-50``.
@@ -43,30 +52,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 N_BINS = 11
 FEATURE_DIM = 33
+OUT_COLS = 48            # 33 feature lanes padded to a 16-multiple
 REAL_D2_MAX = 1.0e10
 
 
-def _bisect_tau(d2, real, k: int, log_lo: float, log_hi: float,
-                steps: int = 10):
-    """Per-query threshold tau with count(d2 <= tau) >= k via log-space
-    bisection over the resident (TQ, 2B) distance tile (identical math to
-    ops.fpfh_sorted._bisect_tau_local)."""
-    shape = d2.shape[:-1]
-    llo = jnp.full(shape, jnp.float32(log_lo))
-    lhi = jnp.full(shape, jnp.float32(log_hi))
-    for _ in range(steps):
-        lmid = 0.5 * (llo + lhi)
-        c = jnp.sum(
-            jnp.where(real & (d2 <= jnp.exp(lmid)[:, None]), 1.0, 0.0),
-            axis=-1)
-        geq = c >= k
-        llo = jnp.where(geq, llo, lmid)
-        lhi = jnp.where(geq, lmid, lhi)
-    return jnp.exp(lhi)
-
-
-def _d2_half(q, r):
-    """(TQ, band) squared-distance half-tile from transposed blocks."""
+def _d2_chunk(q, r):
+    """(TQ, SC) squared distances from transposed blocks q (3, TQ), r (3, SC)."""
     qn = jnp.sum(q * q, axis=0)
     rn = jnp.sum(r * r, axis=0)
     cross = jax.lax.dot_general(
@@ -76,53 +67,103 @@ def _d2_half(q, r):
     return qn[:, None] + rn[None, :] - 2.0 * cross
 
 
+def _store_chunks(c, band, sub, q_ref, r_refs, d2_sc, payload_scs):
+    """Grid step c: compute this band block's d2 in SC-chunks into the 3-D
+    scratch, and stash payload blocks chunked the same way."""
+    n_sub_half = band // sub
+    q = q_ref[:]
+    for j in range(n_sub_half):                      # static: band/sub chunks
+        idx = c * n_sub_half + j
+        sl = slice(j * sub, (j + 1) * sub)
+        d2_sc[idx] = _d2_chunk(q, r_refs[0][:, sl])
+        for ref, sc in zip(r_refs, payload_scs):
+            sc[idx] = ref[:, sl]
+
+
+def _bisect_tau_chunked(d2_sc, real_of, n_sub, k: int, log_lo: float,
+                        log_hi: float, tq: int, steps: int = 10):
+    """Count-CDF bisection over the chunked distance scratch.  ``real_of(j)``
+    returns the (SC,) real-candidate mask of chunk j."""
+    def count(tau):
+        def body(j, acc):
+            d2 = d2_sc[j]
+            return acc + jnp.sum(
+                jnp.where(real_of(j)[None, :] & (d2 <= tau[:, None]), 1.0, 0.0),
+                axis=-1)
+        return jax.lax.fori_loop(0, n_sub, body, jnp.zeros((tq,), jnp.float32))
+
+    llo = jnp.full((tq,), jnp.float32(log_lo))
+    lhi = jnp.full((tq,), jnp.float32(log_hi))
+    for _ in range(steps):                           # static: 10 halvings
+        lmid = 0.5 * (llo + lhi)
+        geq = count(jnp.exp(lmid)) >= k
+        llo = jnp.where(geq, llo, lmid)
+        lhi = jnp.where(geq, lmid, lhi)
+    return jnp.exp(lhi)
+
+
 # ---------------------------------------------------------------------------
-# Pass 1 — normals moments: Hybrid(2v, k) binary weights @ feats10
+# Pass 1 — normals moments: Hybrid(2v, k) binary weights @ [x | xx^T | 1]
 # ---------------------------------------------------------------------------
 
 def _moments_kernel(s_ref, q_ref, r_ref, out_ref, d2_sc, r_sc, *,
-                    band: int, normal_k: int, log_lo: float, log_hi: float):
+                    band: int, sub: int, normal_k: int, log_lo: float,
+                    log_hi: float):
     c = pl.program_id(1)
-    q = q_ref[:]                                         # (3, TQ)
-    r = r_ref[:]                                         # (3, band)
-    d2_sc[:, pl.ds(c * band, band)] = _d2_half(q, r)
-    r_sc[:, pl.ds(c * band, band)] = r
+    _store_chunks(c, band, sub, q_ref, (r_ref,), d2_sc, (r_sc,))
 
     @pl.when(c == 1)
     def _():
-        d2 = d2_sc[:, :]                                 # (TQ, 2B)
-        rr = r_sc[:, :]                                  # (3, 2B)
-        rn2 = jnp.sum(rr * rr, axis=0)                   # (2B,)
-        real = (rn2 < REAL_D2_MAX)[None, :]
-        realf = jnp.where(rn2 < REAL_D2_MAX, 1.0, 0.0)
-        tau = _bisect_tau(d2, real, normal_k, log_lo, log_hi)
-        w = jnp.where(real & (d2 <= tau[:, None]), 1.0, 0.0)   # (TQ, 2B)
-        cnt_r = jnp.maximum(jnp.sum(realf), 1.0)
-        center = jnp.sum(rr * realf[None, :], axis=1) / cnt_r  # (3,)
-        bc = rr - center[:, None]                        # (3, 2B)
-        x, y, z = bc[0], bc[1], bc[2]
-        ones = jnp.ones_like(x)
-        zero = jnp.zeros_like(x)
-        # 10 real moment columns + 6 zero pads = the (TQ, 16) out block
-        feats16 = jnp.stack(
-            [x, y, z, x * x, x * y, x * z, y * y, y * z, z * z, ones,
-             zero, zero, zero, zero, zero, zero],
-            axis=0)                                      # (16, 2B)
-        out_ref[:, :] = jax.lax.dot_general(
-            w, feats16, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (TQ, 16)
+        tq = q_ref.shape[1]
+        n_sub = (2 * band) // sub
+
+        def real_of(j):
+            rr = r_sc[j]
+            return jnp.sum(rr * rr, axis=0) < REAL_D2_MAX
+
+        tau = _bisect_tau_chunked(d2_sc, real_of, n_sub, normal_k,
+                                  log_lo, log_hi, tq)
+
+        # band centroid (for f32-stable second moments)
+        def cbody(j, acc):
+            rr = r_sc[j]
+            rf = jnp.where(real_of(j), 1.0, 0.0)
+            return (acc[0] + jnp.sum(rr * rf[None, :], axis=1),
+                    acc[1] + jnp.sum(rf))
+        csum, ccnt = jax.lax.fori_loop(
+            0, n_sub, cbody, (jnp.zeros((3,), jnp.float32), jnp.float32(0.0)))
+        center = csum / jnp.maximum(ccnt, 1.0)
+
+        def mbody(j, acc):
+            rr = r_sc[j]
+            w = jnp.where(real_of(j)[None, :] & (d2_sc[j] <= tau[:, None]),
+                          1.0, 0.0)                   # (TQ, SC)
+            bc = rr - center[:, None]
+            x, y, z = bc[0], bc[1], bc[2]
+            ones = jnp.ones_like(x)
+            zero = jnp.zeros_like(x)
+            feats16 = jnp.stack(
+                [x, y, z, x * x, x * y, x * z, y * y, y * z, z * z, ones,
+                 zero, zero, zero, zero, zero, zero], axis=0)  # (16, SC)
+            return acc + jax.lax.dot_general(
+                w, feats16, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        S = jax.lax.fori_loop(
+            0, n_sub, mbody, jnp.zeros((tq, 16), jnp.float32))
+        out_ref[:, :] = S
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "voxel_size", "q_tile", "band", "normal_k", "interpret"))
+    "voxel_size", "q_tile", "band", "sub", "normal_k", "interpret"))
 def moments_pallas(starts_blk, qT, rT, voxel_size, *, q_tile: int,
-                   band: int, normal_k: int = 20, interpret: bool = False):
+                   band: int, sub: int = 512, normal_k: int = 20,
+                   interpret: bool = False):
     """(n_pad, 10) banded neighborhood moments [sum x | sum xx^T | count] with
     Hybrid(2*voxel, normal_k) neighborhoods — pass 1 of the banded features."""
     n_pad = qT.shape[1]
     n_tiles = n_pad // q_tile
     v = float(voxel_size)
+    sub = min(sub, band)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles, 2),
@@ -132,13 +173,13 @@ def moments_pallas(starts_blk, qT, rT, voxel_size, *, q_tile: int,
         ],
         out_specs=pl.BlockSpec((q_tile, 16), lambda g, c, s: (g, 0)),
         scratch_shapes=[
-            pltpu.VMEM((q_tile, 2 * band), jnp.float32),
-            pltpu.VMEM((3, 2 * band), jnp.float32),
+            pltpu.VMEM((2 * band // sub, q_tile, sub), jnp.float32),
+            pltpu.VMEM((2 * band // sub, 3, sub), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _moments_kernel, band=band, normal_k=normal_k,
+            _moments_kernel, band=band, sub=sub, normal_k=normal_k,
             log_lo=2.0 * math.log(0.05 * v), log_hi=2.0 * math.log(2.0 * v)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, 16), jnp.float32),
@@ -172,120 +213,117 @@ def _f3_cdf_masks(s, c, r):
 
 
 def _spfh_kernel(s_ref, q_ref, nq_ref, r_ref, nr_ref, out_ref, tau_ref,
-                 d2_sc, r_sc, nr_sc, *, q_tile: int, band: int,
-                 max_nn: int, radius2: float, log_lo: float, log_hi: float,
-                 sub_chunk: int):
+                 d2_sc, r_sc, nr_sc, *, q_tile: int, band: int, sub: int,
+                 max_nn: int, radius2: float, log_lo: float, log_hi: float):
     g = pl.program_id(0)
     c = pl.program_id(1)
-    q = q_ref[:]                                          # (3, TQ)
-    d2_sc[:, pl.ds(c * band, band)] = _d2_half(q, r_ref[:])
-    r_sc[:, pl.ds(c * band, band)] = r_ref[:]
-    nr_sc[:, pl.ds(c * band, band)] = nr_ref[:]
+    _store_chunks(c, band, sub, q_ref, (r_ref, nr_ref), d2_sc, (r_sc, nr_sc))
 
     @pl.when(c == 1)
     def _():
-        d2 = d2_sc[:, :]
-        rr = r_sc[:, :]
-        rn2 = jnp.sum(rr * rr, axis=0)
-        real = (rn2 < REAL_D2_MAX)[None, :]
+        tq = q_tile
+        n_sub = (2 * band) // sub
+
+        def real_of(j):
+            rr = r_sc[j]
+            return jnp.sum(rr * rr, axis=0) < REAL_D2_MAX
+
         tau = jnp.minimum(
-            _bisect_tau(d2, real, max_nn + 1, log_lo, log_hi),
+            _bisect_tau_chunked(d2_sc, real_of, n_sub, max_nn + 1,
+                                log_lo, log_hi, tq),
             jnp.float32(radius2))
-        # self-exclusion: this tile's query t sits at band column
+        # self-exclusion: this tile's query t sits at global band column
         # g*TQ + t - starts_el (ops/fpfh_sorted self_col)
         starts_el = s_ref[g] * band
         self_col = (g * q_tile + jax.lax.broadcasted_iota(
-            jnp.int32, (q_tile, 1), 0) - starts_el)       # (TQ, 1)
-        band_col = jax.lax.broadcasted_iota(
-            jnp.int32, (q_tile, 2 * band), 1)
-        keep = (real & (d2 <= tau[:, None]) & (d2 > 0.0)
-                & (band_col != self_col))
-        keepf = jnp.where(keep, 1.0, 0.0)
-        cnt = jnp.sum(keepf, axis=1)                      # (TQ,)
-        nq = nq_ref[:]                                    # (3, TQ)
+            jnp.int32, (tq, 1), 0) - starts_el)       # (TQ, 1)
+        q = q_ref[:]
+        nq = nq_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, sub), 1)
 
-        n_sub = (2 * band) // sub_chunk
-        cdf = None
-        for sidx in range(n_sub):                         # static unroll
-            sl = slice(sidx * sub_chunk, (sidx + 1) * sub_chunk)
-            b = r_sc[:, sl]                               # (3, SC)
-            nb = nr_sc[:, sl]
-            w = jnp.where(keep[:, sl], 1.0, 0.0)          # (TQ, SC)
-            # pair geometry (components kept separate: (TQ, SC) lanes)
-            dx = b[0][None, :] - q[0][:, None]
-            dy = b[1][None, :] - q[1][:, None]
-            dz = b[2][None, :] - q[2][:, None]
-            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-            inv = 1.0 / jnp.maximum(dist, 1e-12)
+        def hbody(j, cdf):
+            rr = r_sc[j]                              # (3, SC)
+            nb = nr_sc[j]
+            d2 = d2_sc[j]
+            col = lane + j * sub                      # global band column
+            keep = (real_of(j)[None, :] & (d2 <= tau[:, None]) & (d2 > 0.0)
+                    & (col != self_col))
+            w = jnp.where(keep, 1.0, 0.0)             # (TQ, SC)
+            dx = rr[0][None, :] - q[0][:, None]
+            dy = rr[1][None, :] - q[1][:, None]
+            dz = rr[2][None, :] - q[2][:, None]
+            # exact sqrt+divide: TPU rsqrt's reduced precision flips
+            # histogram bins near edges (measured: 2% median feature L1)
+            inv = 1.0 / jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-24))
             dnx, dny, dnz = dx * inv, dy * inv, dz * inv
-            n1x, n1y, n1z = (nq[0][:, None], nq[1][:, None], nq[2][:, None])
+            n1x, n1y, n1z = nq[0][:, None], nq[1][:, None], nq[2][:, None]
             n2x, n2y, n2z = nb[0][None, :], nb[1][None, :], nb[2][None, :]
             a1 = n1x * dnx + n1y * dny + n1z * dnz
             a2 = n2x * dnx + n2y * dny + n2z * dnz
             swap = jnp.abs(a2) > jnp.abs(a1)
-            ux = jnp.where(swap, n2x, n1x * jnp.ones_like(a1))
-            uy = jnp.where(swap, n2y, n1y * jnp.ones_like(a1))
-            uz = jnp.where(swap, n2z, n1z * jnp.ones_like(a1))
-            ntx = jnp.where(swap, n1x * jnp.ones_like(a1), n2x * jnp.ones_like(a1))
-            nty = jnp.where(swap, n1y * jnp.ones_like(a1), n2y * jnp.ones_like(a1))
-            ntz = jnp.where(swap, n1z * jnp.ones_like(a1), n2z * jnp.ones_like(a1))
+            one = jnp.ones_like(a1)
+            ux = jnp.where(swap, n2x * one, n1x * one)
+            uy = jnp.where(swap, n2y * one, n1y * one)
+            uz = jnp.where(swap, n2z * one, n1z * one)
+            ntx = jnp.where(swap, n1x * one, n2x * one)
+            nty = jnp.where(swap, n1y * one, n2y * one)
+            ntz = jnp.where(swap, n1z * one, n2z * one)
             sgn = jnp.where(swap, -1.0, 1.0)
-            ex, ey, ez = sgn * dnx, sgn * dny, sgn * dnz  # dn_eff
+            ex, ey, ez = sgn * dnx, sgn * dny, sgn * dnz      # dn_eff
             f2 = ux * ex + uy * ey + uz * ez
-            # v = cross(dn_eff, u), normalized; w = cross(u, v)
             vx = ey * uz - ez * uy
             vy = ez * ux - ex * uz
             vz = ex * uy - ey * ux
-            vinv = jax.lax.rsqrt(
+            vinv = 1.0 / jnp.sqrt(
                 jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-24))
             vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
             wx = uy * vz - uz * vy
             wy = uz * vx - ux * vz
             wz = ux * vy - uy * vx
             f1 = vx * ntx + vy * nty + vz * ntz
-            # f3 = atan2(sa, ca) binned via half-plane/cosine tests
             sa = wx * ntx + wy * nty + wz * ntz
             ca = ux * ntx + uy * nty + uz * ntz
             ra = jnp.sqrt(sa * sa + ca * ca)
-            cols = [jnp.sum(w, axis=1)]                   # cdf_0(f1) = cnt
+            cols = [jnp.sum(w, axis=1)]               # cdf_0(f1) = count
             for t in _f12_thresholds():
                 cols.append(jnp.sum(jnp.where(f1 >= t, w, 0.0), axis=1))
-            cols.append(jnp.sum(w, axis=1))               # cdf_0(f2)
+            cols.append(jnp.sum(w, axis=1))           # cdf_0(f2)
             for t in _f12_thresholds():
                 cols.append(jnp.sum(jnp.where(f2 >= t, w, 0.0), axis=1))
-            cols.append(jnp.sum(w, axis=1))               # cdf_0(f3)
+            cols.append(jnp.sum(w, axis=1))           # cdf_0(f3)
             for m in _f3_cdf_masks(sa, ca, ra):
                 cols.append(jnp.sum(jnp.where(m, w, 0.0), axis=1))
-            part = jnp.stack(cols, axis=1)                # (TQ, 33)
-            cdf = part if cdf is None else cdf + part
+            pad = [jnp.zeros((tq,), jnp.float32)] * (OUT_COLS - FEATURE_DIM)
+            return cdf + jnp.stack(cols + pad, axis=1)
 
+        cdf = jax.lax.fori_loop(
+            0, n_sub, hbody, jnp.zeros((tq, OUT_COLS), jnp.float32))
         # cdf -> per-bin counts: bin_b = cdf_b - cdf_{b+1} (cdf_11 = 0)
+        zero1 = jnp.zeros((tq, 1), jnp.float32)
         shifted = jnp.concatenate(
-            [cdf[:, 1:N_BINS], jnp.zeros((q_tile, 1), jnp.float32),
-             cdf[:, N_BINS + 1:2 * N_BINS], jnp.zeros((q_tile, 1), jnp.float32),
-             cdf[:, 2 * N_BINS + 1:], jnp.zeros((q_tile, 1), jnp.float32)],
-            axis=1)
+            [cdf[:, 1:N_BINS], zero1,
+             cdf[:, N_BINS + 1:2 * N_BINS], zero1,
+             cdf[:, 2 * N_BINS + 1:FEATURE_DIM], zero1,
+             cdf[:, FEATURE_DIM:]], axis=1)
         hist = cdf - shifted
+        cnt = cdf[:, 0]
         incr = jnp.where(cnt > 0, 100.0 / jnp.maximum(cnt, 1.0), 0.0)
-        pad = jnp.zeros((q_tile, 16 * ((FEATURE_DIM + 15) // 16) - FEATURE_DIM),
-                        jnp.float32)
-        out_ref[:, :] = jnp.concatenate([hist * incr[:, None], pad], axis=1)
-        tau_ref[:, :] = tau.reshape(q_tile, 1)
+        out_ref[:, :] = hist * incr[:, None]
+        tau_ref[:, :] = tau.reshape(tq, 1)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "voxel_size", "q_tile", "band", "max_nn", "sub_chunk", "interpret"))
+    "voxel_size", "q_tile", "band", "sub", "max_nn", "interpret"))
 def spfh_pallas(starts_blk, qT, nqT, rT, nrT, voxel_size, *, q_tile: int,
-                band: int, max_nn: int = 200, sub_chunk: int = 512,
+                band: int, sub: int = 512, max_nn: int = 200,
                 interpret: bool = False):
     """(spfh (n_pad, 33), tau (n_pad,)) — pass 2 of the banded features:
-    Hybrid(10v, max_nn excl self) SPFH histograms, distance tile resident in
-    VMEM across bisection + histogramming."""
+    Hybrid(10v, max_nn excl self) SPFH histograms, distance chunks resident
+    in VMEM across bisection + histogramming."""
     n_pad = qT.shape[1]
     n_tiles = n_pad // q_tile
     v = float(voxel_size)
-    sc = min(sub_chunk, 2 * band)
-    out_cols = 16 * ((FEATURE_DIM + 15) // 16)
+    sub = min(sub, band)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles, 2),
@@ -296,23 +334,23 @@ def spfh_pallas(starts_blk, qT, nqT, rT, nrT, voxel_size, *, q_tile: int,
             pl.BlockSpec((3, band), lambda g, c, s: (0, s[g] + c)),
         ],
         out_specs=[
-            pl.BlockSpec((q_tile, out_cols), lambda g, c, s: (g, 0)),
+            pl.BlockSpec((q_tile, OUT_COLS), lambda g, c, s: (g, 0)),
             pl.BlockSpec((q_tile, 1), lambda g, c, s: (g, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((q_tile, 2 * band), jnp.float32),
-            pltpu.VMEM((3, 2 * band), jnp.float32),
-            pltpu.VMEM((3, 2 * band), jnp.float32),
+            pltpu.VMEM((2 * band // sub, q_tile, sub), jnp.float32),
+            pltpu.VMEM((2 * band // sub, 3, sub), jnp.float32),
+            pltpu.VMEM((2 * band // sub, 3, sub), jnp.float32),
         ],
     )
     spfh, tau = pl.pallas_call(
         functools.partial(
-            _spfh_kernel, q_tile=q_tile, band=band, max_nn=max_nn,
+            _spfh_kernel, q_tile=q_tile, band=band, sub=sub, max_nn=max_nn,
             radius2=(10.0 * v) ** 2, log_lo=2.0 * math.log(0.05 * v),
-            log_hi=2.0 * math.log(10.0 * v), sub_chunk=sc),
+            log_hi=2.0 * math.log(10.0 * v)),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, out_cols), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, OUT_COLS), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ],
         interpret=interpret,
@@ -321,62 +359,56 @@ def spfh_pallas(starts_blk, qT, nqT, rT, nrT, voxel_size, *, q_tile: int,
 
 
 # ---------------------------------------------------------------------------
-# Pass 3 — FPFH: 1/d2-weighted neighbor SPFH sum (MXU matmul vs the slab)
+# Pass 3 — FPFH: 1/d2-weighted neighbor SPFH sum (MXU matmul per chunk)
 # ---------------------------------------------------------------------------
 
 def _fpfh_kernel(s_ref, q_ref, tau_ref, r_ref, spfh_ref, out_ref,
-                 d2_sc, r_sc, spfh_sc, *, q_tile: int, band: int,
-                 sub_chunk: int):
+                 d2_sc, r_sc, spfh_sc, *, q_tile: int, band: int, sub: int):
     g = pl.program_id(0)
     c = pl.program_id(1)
-    q = q_ref[:]
-    d2_sc[:, pl.ds(c * band, band)] = _d2_half(q, r_ref[:])
-    r_sc[:, pl.ds(c * band, band)] = r_ref[:]
-    spfh_sc[pl.ds(c * band, band), :] = spfh_ref[:]
+    _store_chunks(c, band, sub, q_ref, (r_ref,), d2_sc, (r_sc,))
+    n_sub_half = band // sub
+    for j in range(n_sub_half):                      # static: chunk the slab
+        spfh_sc[c * n_sub_half + j] = spfh_ref[j * sub:(j + 1) * sub, :]
 
     @pl.when(c == 1)
     def _():
-        d2 = d2_sc[:, :]
-        rr = r_sc[:, :]
-        rn2 = jnp.sum(rr * rr, axis=0)
-        real = (rn2 < REAL_D2_MAX)[None, :]
-        tau = tau_ref[:, :].reshape(q_tile)
+        tq = q_tile
+        n_sub = (2 * band) // sub
+        tau = tau_ref[:, :].reshape(tq)
         starts_el = s_ref[g] * band
         self_col = (g * q_tile + jax.lax.broadcasted_iota(
-            jnp.int32, (q_tile, 1), 0) - starts_el)
-        band_col = jax.lax.broadcasted_iota(
-            jnp.int32, (q_tile, 2 * band), 1)
-        keep = (real & (d2 <= tau[:, None]) & (d2 > 0.0)
-                & (band_col != self_col))
+            jnp.int32, (tq, 1), 0) - starts_el)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, sub), 1)
 
-        n_sub = (2 * band) // sub_chunk
-        acc = None
-        for sidx in range(n_sub):                         # static unroll
-            sl = slice(sidx * sub_chunk, (sidx + 1) * sub_chunk)
-            W = jnp.where(keep[:, sl],
-                          1.0 / jnp.maximum(d2[:, sl], 1e-12), 0.0)
-            part = jax.lax.dot_general(
-                W, spfh_sc[sl, :],
+        def body(j, acc):
+            rr = r_sc[j]
+            d2 = d2_sc[j]
+            real = (jnp.sum(rr * rr, axis=0) < REAL_D2_MAX)[None, :]
+            col = lane + j * sub
+            keep = (real & (d2 <= tau[:, None]) & (d2 > 0.0)
+                    & (col != self_col))
+            W = jnp.where(keep, 1.0 / jnp.maximum(d2, 1e-12), 0.0)
+            return acc + jax.lax.dot_general(
+                W, spfh_sc[j],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                             # (TQ, 33pad)
-            acc = part if acc is None else acc + part
-        out_ref[:, :] = acc
+                preferred_element_type=jnp.float32)
+        out_ref[:, :] = jax.lax.fori_loop(
+            0, n_sub, body, jnp.zeros((tq, OUT_COLS), jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "q_tile", "band", "sub_chunk", "interpret"))
+    "q_tile", "band", "sub", "interpret"))
 def fpfh_pallas(starts_blk, qT, rT, tau, spfh, *, q_tile: int, band: int,
-                sub_chunk: int = 1024, interpret: bool = False):
+                sub: int = 512, interpret: bool = False):
     """(n_pad, 33) weighted neighbor SPFH sums — pass 3 of the banded
     features (the caller adds the query's own SPFH and normalizes blocks)."""
     n_pad = qT.shape[1]
     nr_pad = rT.shape[1]
     n_tiles = n_pad // q_tile
-    sc = min(sub_chunk, 2 * band)
-    out_cols = 16 * ((FEATURE_DIM + 15) // 16)
+    sub = min(sub, band)
     spfh_padded = jnp.pad(
-        spfh, ((0, nr_pad - spfh.shape[0]), (0, out_cols - FEATURE_DIM)))
+        spfh, ((0, nr_pad - spfh.shape[0]), (0, OUT_COLS - FEATURE_DIM)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles, 2),
@@ -384,20 +416,199 @@ def fpfh_pallas(starts_blk, qT, rT, tau, spfh, *, q_tile: int, band: int,
             pl.BlockSpec((3, q_tile), lambda g, c, s: (0, g)),
             pl.BlockSpec((q_tile, 1), lambda g, c, s: (g, 0)),
             pl.BlockSpec((3, band), lambda g, c, s: (0, s[g] + c)),
-            pl.BlockSpec((band, out_cols), lambda g, c, s: (s[g] + c, 0)),
+            pl.BlockSpec((band, OUT_COLS), lambda g, c, s: (s[g] + c, 0)),
         ],
-        out_specs=pl.BlockSpec((q_tile, out_cols), lambda g, c, s: (g, 0)),
+        out_specs=pl.BlockSpec((q_tile, OUT_COLS), lambda g, c, s: (g, 0)),
         scratch_shapes=[
-            pltpu.VMEM((q_tile, 2 * band), jnp.float32),
-            pltpu.VMEM((3, 2 * band), jnp.float32),
-            pltpu.VMEM((2 * band, out_cols), jnp.float32),
+            pltpu.VMEM((2 * band // sub, q_tile, sub), jnp.float32),
+            pltpu.VMEM((2 * band // sub, 3, sub), jnp.float32),
+            pltpu.VMEM((2 * band // sub, sub, OUT_COLS), jnp.float32),
         ],
     )
     acc = pl.pallas_call(
-        functools.partial(
-            _fpfh_kernel, q_tile=q_tile, band=band, sub_chunk=sc),
+        functools.partial(_fpfh_kernel, q_tile=q_tile, band=band, sub=sub),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, out_cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, OUT_COLS), jnp.float32),
         interpret=interpret,
     )(starts_blk, qT, tau.reshape(n_pad, 1), rT, spfh_padded)
     return acc[:, :FEATURE_DIM]
+
+
+# ---------------------------------------------------------------------------
+# Stage-2 preprocess kernels (ops/preprocess.outlier_and_normals_sorted):
+# pass O1 — statistical-outlier statistics; pass O2 — survivor-kNN moments.
+# Same chunked-scratch skeleton as the feature passes.
+# ---------------------------------------------------------------------------
+
+def _outlier_stats_kernel(s_ref, q_ref, r_ref, out_ref, d2_sc, r_sc, *,
+                          band: int, sub: int, k1: int, log_lo: float,
+                          log_hi: float):
+    c = pl.program_id(1)
+    _store_chunks(c, band, sub, q_ref, (r_ref,), d2_sc, (r_sc,))
+
+    @pl.when(c == 1)
+    def _():
+        tq = q_ref.shape[1]
+        n_sub = (2 * band) // sub
+
+        def real_of(j):
+            rr = r_sc[j]
+            return jnp.sum(rr * rr, axis=0) < REAL_D2_MAX
+
+        tau = _bisect_tau_chunked(d2_sc, real_of, n_sub, k1,
+                                  log_lo, log_hi, tq, steps=10)
+
+        def body(j, acc):
+            d2 = d2_sc[j]
+            w = jnp.where(real_of(j)[None, :] & (d2 <= tau[:, None]), 1.0, 0.0)
+            return (acc[0] + jnp.sum(w, axis=1),
+                    acc[1] + jnp.sum(w * jnp.sqrt(jnp.maximum(d2, 0.0)),
+                                     axis=1))
+        cnt, sum_d = jax.lax.fori_loop(
+            0, n_sub, body,
+            (jnp.zeros((tq,), jnp.float32), jnp.zeros((tq,), jnp.float32)))
+        mean_d = sum_d / jnp.maximum(cnt - 1.0, 1.0)     # self dist = 0
+        found = jnp.where(cnt >= k1, 1.0, 0.0)
+        pad = jnp.zeros((tq,), jnp.float32)
+        out_ref[:, :] = jnp.stack(
+            [mean_d, found, tau, pad, pad, pad, pad, pad], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "spacing_hint", "q_tile", "band", "sub", "k1", "interpret"))
+def outlier_stats_pallas(starts_blk, qT, rT, spacing_hint, *, q_tile: int,
+                         band: int, sub: int = 512, k1: int = 31,
+                         interpret: bool = False):
+    """(mean_d, found, tau_out) per sorted query — pass 1 of the fused
+    outlier+normals preprocess (mean distance to the k1-1 nearest excl self,
+    threshold from 14-step count-CDF bisection over [0.05h, 100h])."""
+    n_pad = qT.shape[1]
+    n_tiles = n_pad // q_tile
+    h = float(spacing_hint)
+    sub = min(sub, band)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, 2),
+        in_specs=[
+            pl.BlockSpec((3, q_tile), lambda g, c, s: (0, g)),
+            pl.BlockSpec((3, band), lambda g, c, s: (0, s[g] + c)),
+        ],
+        out_specs=pl.BlockSpec((q_tile, 8), lambda g, c, s: (g, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * band // sub, q_tile, sub), jnp.float32),
+            pltpu.VMEM((2 * band // sub, 3, sub), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _outlier_stats_kernel, band=band, sub=sub, k1=k1,
+            log_lo=2.0 * math.log(0.05 * h), log_hi=2.0 * math.log(100.0 * h)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+        interpret=interpret,
+    )(starts_blk, qT, rT)
+    return out[:, 0], out[:, 1] > 0.5, out[:, 2]
+
+
+def _survivor_moments_kernel(s_ref, q_ref, tau0_ref, r_ref, keep_ref, out_ref,
+                             d2_sc, r_sc, keep_sc, *, band: int, sub: int,
+                             normal_k: int):
+    c = pl.program_id(1)
+    _store_chunks(c, band, sub, q_ref, (r_ref, keep_ref), d2_sc,
+                  (r_sc, keep_sc))
+
+    @pl.when(c == 1)
+    def _():
+        tq = q_ref.shape[1]
+        n_sub = (2 * band) // sub
+        tau0 = tau0_ref[:, :].reshape(tq)
+
+        def mask_of(j):
+            rr = r_sc[j]
+            real = jnp.sum(rr * rr, axis=0) < REAL_D2_MAX
+            return real & (keep_sc[j][0] > 0.5)
+
+        # linear-space bisection over [0, 4*tau_out] per query (the survivor
+        # threshold; matches ops/preprocess pass 2)
+        def count(tau):
+            def body(j, acc):
+                d2 = d2_sc[j]
+                return acc + jnp.sum(
+                    jnp.where(mask_of(j)[None, :] & (d2 <= tau[:, None]),
+                              1.0, 0.0), axis=-1)
+            return jax.lax.fori_loop(0, n_sub, body,
+                                     jnp.zeros((tq,), jnp.float32))
+
+        lo = jnp.zeros((tq,), jnp.float32)
+        hi = 4.0 * tau0 + 1e-6
+        for _ in range(10):
+            mid = 0.5 * (lo + hi)
+            geq = count(mid) >= normal_k
+            lo = jnp.where(geq, lo, mid)
+            hi = jnp.where(geq, mid, hi)
+        tau = hi
+
+        def cbody(j, acc):
+            rr = r_sc[j]
+            rf = jnp.where(jnp.sum(rr * rr, axis=0) < REAL_D2_MAX, 1.0, 0.0)
+            return (acc[0] + jnp.sum(rr * rf[None, :], axis=1),
+                    acc[1] + jnp.sum(rf))
+        csum, ccnt = jax.lax.fori_loop(
+            0, n_sub, cbody, (jnp.zeros((3,), jnp.float32), jnp.float32(0.0)))
+        center = csum / jnp.maximum(ccnt, 1.0)
+
+        def mbody(j, acc):
+            rr = r_sc[j]
+            w = jnp.where(mask_of(j)[None, :] & (d2_sc[j] <= tau[:, None]),
+                          1.0, 0.0)
+            bc = rr - center[:, None]
+            x, y, z = bc[0], bc[1], bc[2]
+            ones = jnp.ones_like(x)
+            zero = jnp.zeros_like(x)
+            feats16 = jnp.stack(
+                [x, y, z, x * x, x * y, x * z, y * y, y * z, z * z, ones,
+                 zero, zero, zero, zero, zero, zero], axis=0)
+            return acc + jax.lax.dot_general(
+                w, feats16, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[:, :] = jax.lax.fori_loop(
+            0, n_sub, mbody, jnp.zeros((tq, 16), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "q_tile", "band", "sub", "normal_k", "interpret"))
+def survivor_moments_pallas(starts_blk, qT, rT, tau_out, keep, *, q_tile: int,
+                            band: int, sub: int = 512, normal_k: int = 20,
+                            interpret: bool = False):
+    """(n_pad, 10) moments over each query's ``normal_k`` nearest SURVIVORS
+    (outlier-filtered band candidates) — pass 2 of the fused preprocess."""
+    n_pad = qT.shape[1]
+    nr_pad = rT.shape[1]
+    n_tiles = n_pad // q_tile
+    sub = min(sub, band)
+    keep_row = jnp.pad(keep.astype(jnp.float32),
+                       (0, nr_pad - keep.shape[0]))[None, :]  # (1, nr_pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, 2),
+        in_specs=[
+            pl.BlockSpec((3, q_tile), lambda g, c, s: (0, g)),
+            pl.BlockSpec((q_tile, 1), lambda g, c, s: (g, 0)),
+            pl.BlockSpec((3, band), lambda g, c, s: (0, s[g] + c)),
+            pl.BlockSpec((1, band), lambda g, c, s: (0, s[g] + c)),
+        ],
+        out_specs=pl.BlockSpec((q_tile, 16), lambda g, c, s: (g, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * band // sub, q_tile, sub), jnp.float32),
+            pltpu.VMEM((2 * band // sub, 3, sub), jnp.float32),
+            pltpu.VMEM((2 * band // sub, 1, sub), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _survivor_moments_kernel, band=band, sub=sub, normal_k=normal_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 16), jnp.float32),
+        interpret=interpret,
+    )(starts_blk, qT, tau_out.reshape(n_pad, 1), rT, keep_row)
+    return out[:, :10]

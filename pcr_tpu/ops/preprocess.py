@@ -69,15 +69,100 @@ def outlier_and_normals_sorted(
     q_tile: int = 1024,
     band: int = 2048,
     spacing_hint=None,
+    backend: str = "auto",
 ) -> Cloud:
     """Host-side validation wrapper (the guard must run before jit tracing
-    turns ``spacing_hint`` into a tracer; see _outlier_and_normals_sorted)."""
+    turns ``spacing_hint`` into a tracer; see _outlier_and_normals_sorted).
+
+    ``backend``: 'auto' = 'xla' — measured on v5e the fused XLA path beats
+    the Pallas kernels (ops/pallas/feature_kernels O1/O2) on the 5-scale
+    NCLT pyramid; the kernels remain selectable ('pallas', needs
+    ``spacing_hint``) and oracle-tested ('pallas_interpret')."""
     if isinstance(spacing_hint, (int, float)) and not spacing_hint > 0:
         raise ValueError(f"spacing_hint must be > 0, got {spacing_hint}")
+    if backend == "auto":
+        backend = "xla"   # measured faster than the pallas path on v5e
+    if backend.startswith("pallas"):
+        if spacing_hint is None:
+            raise ValueError("pallas preprocess backend needs spacing_hint")
+        return _outlier_and_normals_pallas(
+            points, mask, nb_neighbors, std_ratio, normal_k, band,
+            float(spacing_hint), interpret=(backend == "pallas_interpret"))
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
     return _outlier_and_normals_sorted(
         points, mask, nb_neighbors, std_ratio, normal_k, q_tile, band,
         spacing_hint,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nb_neighbors", "std_ratio", "normal_k", "band",
+                     "spacing_hint", "interpret"))
+def _outlier_and_normals_pallas(
+    points, mask, nb_neighbors, std_ratio, normal_k, band, spacing_hint,
+    interpret=False,
+) -> Cloud:
+    """Pallas backend: O1 (outlier stats) -> (n,)-level mu/sigma gate in XLA
+    -> O2 (survivor-kNN moments) -> normals.  Identical semantics to the XLA
+    path's spacing_hint branch (same bisections, same deviation notes in the
+    module docstring)."""
+    from ..ops.pallas import feature_kernels as fk
+
+    q_tile = 256                     # kernel VMEM budget (see feature_kernels)
+    n = points.shape[0]
+    p = jnp.where(mask[:, None], points, SENTINEL)
+    big = jnp.float32(3e38)
+    pmax = jnp.max(jnp.where(mask[:, None], points, -big), axis=0)
+    pmin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
+    axis = jnp.argmax(pmax - pmin)
+    pa = p @ (jnp.arange(3) == axis).astype(p.dtype)
+    order = jnp.argsort(pa).astype(jnp.int32)
+    ps = p[order]
+    ms = mask[order]
+
+    n_pad = -(-n // q_tile) * q_tile
+    nr_pad = (-(-n // band) + 1) * band
+    n_tiles = n_pad // q_tile
+    tile_start_row = jnp.arange(n_tiles, dtype=jnp.int32) * q_tile
+    start_blk = jnp.clip((tile_start_row - (2 * band - q_tile) // 2) // band,
+                         0, jnp.maximum(nr_pad // band - 2, 0))
+    qT = jnp.pad(ps, ((0, n_pad - n), (0, 0)), constant_values=SENTINEL).T
+    rT = jnp.pad(ps, ((0, nr_pad - n), (0, 0)), constant_values=SENTINEL).T
+
+    mean_d_p, found_p, tau_out_p = fk.outlier_stats_pallas(
+        start_blk, qT, rT, spacing_hint, q_tile=q_tile, band=band,
+        k1=nb_neighbors + 1, interpret=interpret)
+    mean_d, found = mean_d_p[:n], found_p[:n]
+
+    stat = ms & found
+    wv = stat.astype(jnp.float32)
+    n_valid = jnp.maximum(jnp.sum(wv), 1.0)
+    mu = jnp.sum(mean_d * wv) / n_valid
+    var = jnp.sum((mean_d - mu) ** 2 * wv) / jnp.maximum(n_valid - 1.0, 1.0)
+    keep = stat & (mean_d <= mu + std_ratio * jnp.sqrt(var))
+
+    S = fk.survivor_moments_pallas(
+        start_blk, qT, rT, tau_out_p, keep, q_tile=q_tile, band=band,
+        normal_k=normal_k, interpret=interpret)[:n]
+    cnt2 = jnp.maximum(S[:, 9], 1.0)
+    m1 = S[:, 0:3] / cnt2[:, None]
+    xx = S[:, 3], S[:, 4], S[:, 5], S[:, 6], S[:, 7], S[:, 8]
+    exx = jnp.stack(
+        [jnp.stack([xx[0], xx[1], xx[2]], axis=-1),
+         jnp.stack([xx[1], xx[3], xx[4]], axis=-1),
+         jnp.stack([xx[2], xx[4], xx[5]], axis=-1)],
+        axis=-2,
+    ) / cnt2[:, None, None]
+    cov = exx - m1[:, :, None] * m1[:, None, :]
+    enough = S[:, 9] >= 3
+    normals = eigen3.smallest_eigenvector(cov)
+    flip = (normals[:, 2] < 0) | ((normals[:, 2] == 0) & (normals[:, 0] < 0))
+    normals = jnp.where(flip[:, None], -normals, normals)
+    normals = jnp.where((enough & keep)[:, None], normals, 0.0)
+    pts_out = jnp.where(keep[:, None], ps, PAD_COORD)
+    return Cloud(points=pts_out, mask=keep, normals=normals, covariances=cov)
 
 
 @functools.partial(
@@ -99,7 +184,7 @@ def _outlier_and_normals_sorted(
 
     ``spacing_hint`` (typically the voxel size of the cloud) switches the
     pass-1 neighborhood threshold from ``approx_min_k`` to a log-space count
-    bisection over [0.05*hint, 100*hint]: approx_min_k is the single most
+    bisection over [0.05*hint, 100*hint] (10 static steps): approx_min_k is the single most
     expensive op here (18 of 26 ms at 17k points, measured), while each
     bisection step is a read-only fused reduce over the CSE'd distance matrix
     (~0.35 ms).  14 steps resolve the threshold to <0.1%, well inside
@@ -152,7 +237,7 @@ def _outlier_and_normals_sorted(
         shape = d2.shape[:-1]
         llo = jnp.full(shape, 2.0 * jnp.log(0.05 * spacing_hint))
         lhi = jnp.full(shape, 2.0 * jnp.log(100.0 * spacing_hint))
-        for _ in range(14):                              # static unroll: keeps fusion
+        for _ in range(10):                              # static unroll: keeps fusion
             lmid = 0.5 * (llo + lhi)
             c1 = jnp.sum(real & (d2 <= jnp.exp(lmid)[..., None]), axis=-1)
             geq = c1 >= k1
@@ -188,19 +273,16 @@ def _outlier_and_normals_sorted(
 
     lo = jnp.zeros_like(tau_out)
     hi = 4.0 * tau_out + 1e-6
+    d2b = d2_tiles()   # hoisted: one explicit compute, not 11 CSE'd call sites
+    keep_real = keep_b[:, None, :] & (d2b < REAL_D2_MAX)
     for _ in range(10):                                  # static unroll: keeps fusion
         mid = 0.5 * (lo + hi)
-        d2b = d2_tiles()
-        c2 = jnp.sum(
-            keep_b[:, None, :] & (d2b < REAL_D2_MAX) & (d2b <= mid[..., None]),
-            axis=-1,
-        )
+        c2 = jnp.sum(keep_real & (d2b <= mid[..., None]), axis=-1)
         geq = c2 >= normal_k
         lo = jnp.where(geq, lo, mid)
         hi = jnp.where(geq, mid, hi)
     tau_nrm = hi
-    d2b = d2_tiles()
-    w_nrm = keep_b[:, None, :] & (d2b < REAL_D2_MAX) & (d2b <= tau_nrm[..., None])
+    w_nrm = keep_real & (d2b <= tau_nrm[..., None])
 
     # moments via one MXU matmul per tile, band coords centered per tile
     center = jnp.sum(jnp.where((band_n2 < REAL_D2_MAX)[..., None], bands, 0.0), axis=1)
@@ -262,6 +344,12 @@ def preprocess_scale_fused(
         # voxel output is prefix-compact (valid rows first), so a static
         # slice replaces compact()'s argsort+gathers.
         d = Cloud(points=d.points[:scale_capacity], mask=d.mask[:scale_capacity])
+    # Capacity-scaled band: the preprocess neighborhoods are 30-NN / 20-NN
+    # (a few voxels across), so nr/16 rows either side (~extent/8 along the
+    # sweep axis) is still orders of magnitude wider than any neighborhood —
+    # and the band width multiplies EVERY bisection step's reduction, the
+    # dominant pyramid cost (round-5 stage-2 plateau).
+    band = min(1024, max(256, -(-(d.capacity // 16) // 256) * 256))
     return outlier_and_normals_sorted(
-        d.points, d.mask, nb_neighbors, std_ratio, normal_k,
+        d.points, d.mask, nb_neighbors, std_ratio, normal_k, band=band,
         spacing_hint=float(voxel_size))

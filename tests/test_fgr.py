@@ -69,7 +69,7 @@ def test_fgr_gnc_recovers_pose(rng):
 @pytest.mark.slow
 @pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
 def test_fgr_nclt_golden_pair():
-    """Stage-1 golden test (VERDICT r1 item 2): the full registro_FGR pipeline
+    """[slow ~33 s on the CPU mesh, warm cache] Stage-1 golden test (VERDICT r1 item 2): the full registro_FGR pipeline
     on real NCLT scans s1->s0 must land near the shipped FGR fixture pose
     (measured on TPU: 9.0 cm / 0.0057 rad, fitness 0.44)."""
     c0, c1 = cloud.load_dataset("NCLT", indices=[0, 1])

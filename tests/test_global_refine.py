@@ -156,8 +156,8 @@ def test_slerp_chain_f64_host_path(rng):
 
 @pytest.mark.slow
 def test_nclt_fixture_closed_forms_smoke():
-    """All three closed-form refinements on the real 901-pose NCLT FGR_GICP
-    fixtures (runs in seconds — the 'NCLT fixture smoke' PARITY claims)."""
+    """[slow <1 s warm] All three closed-form refinements on the real 901-pose
+    NCLT FGR_GICP fixtures (runs in seconds — the 'NCLT fixture smoke' PARITY claims)."""
     T_rel = poses_io.load_reference_relative("FGR_GICP", "NCLT")
     assert T_rel.shape == (901, 4, 4)
     raw_closure = np.asarray(se3.loop_closure_error(T_rel))
@@ -358,7 +358,7 @@ def test_stage3_pose_graph_beats_raw_chain_facade():
 @pytest.mark.slow
 @pytest.mark.skipif(not HAVE_REF2, reason="reference fixtures not mounted")
 def test_stage3_pose_graph_distributes_nclt_closure():
-    """Flagship n=901 circuit (VERDICT r3 missing #1): the line process must
+    """[slow ~3 s warm] Flagship n=901 circuit (VERDICT r3 missing #1): the line process must
     KEEP the genuine loop edge — its post-distribution residual (~20 mm/edge)
     is far under max_corr_dist — and the LM must spread the circuit's
     closure (17.9 m in the optimizer's standard-SE(3) convention; the
@@ -417,7 +417,7 @@ def test_stage3_pose_graph_distributes_nclt_closure():
 @pytest.mark.slow
 @pytest.mark.skipif(not HAVE_REF2, reason="reference fixtures not mounted")
 def test_stage3_pose_graph_prune_recovers_chain_at_n901():
-    """The round-3 stall, reproduced and fixed at full scale: with a grossly
+    """[slow ~2 s warm] The round-3 stall, reproduced and fixed at full scale: with a grossly
     corrupted loop edge (+500 m) the line process must prune it, and the
     re-optimization must return the 901-node trajectory to the odometry
     chain — NOT stall 29 m away (VERDICT r3: f32 conditioning + descent from
