@@ -616,10 +616,18 @@ def run_pair(cfg: PipelineConfig, src_i: int, tgt_i: int,
         # Featurize each scan at its own capacity bucket, then pad the pair to
         # the max bucket — cuts the 245k-capacity Courtyard FPFH/selection to
         # the actual cloud sizes (s4 is 96k valid in the 245k bucket).
+        # Feature path follows cfg.stage1_features like the circuit runners
+        # (the banded default covers the TLS-scale buckets too).
         bs = cloud_mod.compact(src_c, cloud_mod.bucket_capacity(src_c))
         bt = cloud_mod.compact(tgt_c, cloud_mod.bucket_capacity(tgt_c))
-        bs_f, feat_s = fgr_mod.fgr_features(bs, cfg.voxel_size)
-        bt_f, feat_t = fgr_mod.fgr_features(bt, cfg.voxel_size)
+        if cfg.stage1_features == "banded":
+            bs_f, feat_s = fpfh_sorted.fgr_features_sorted(
+                bs, cfg.voxel_size, band=cfg.stage1_band)
+            bt_f, feat_t = fpfh_sorted.fgr_features_sorted(
+                bt, cfg.voxel_size, band=cfg.stage1_band)
+        else:
+            bs_f, feat_s = fgr_mod.fgr_features(bs, cfg.voxel_size)
+            bt_f, feat_t = fgr_mod.fgr_features(bt, cfg.voxel_size)
         B = max(bs_f.capacity, bt_f.capacity)
         bs_f, feat_s = cloud_mod.pad_to(bs_f, B), _pad_feat(feat_s, B)
         bt_f, feat_t = cloud_mod.pad_to(bt_f, B), _pad_feat(feat_t, B)
