@@ -773,6 +773,12 @@ def run_full(cfg: PipelineConfig, clouds=None, n: int | None = None,
                          stage="mgicp")
 
     for k, (s, t) in enumerate(pairs):
+        if isinstance(clouds, cloud_mod.LazyClouds):
+            # prefetch the NEXT pair's new scan: device_put is async, so the
+            # host->device transfer gets a full pair-iteration (~0.3 s) head
+            # start instead of sitting on this loop's critical path (the
+            # tunnel's bandwidth swings make uploads the main straggler)
+            clouds[(s + 1) % n]
         src_f, feat_src = features(s)
         tgt_f, feat_tgt = features(t)
         B = max(src_f.capacity, tgt_f.capacity)
