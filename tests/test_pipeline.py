@@ -604,3 +604,26 @@ def test_nclt_arc_stage2_mesh_matches_streamed_bounded(tmp_path):
     A_s = np.asarray(se3.relative_to_absolute_standard(ser))
     A_m = np.asarray(se3.relative_to_absolute_standard(msh))
     assert np.linalg.norm(A_s[-1][:3, 3] - A_m[-1][:3, 3]) < 0.01
+
+
+def test_run_full_lazyclouds_prefetch(rng, tmp_path, monkeypatch):
+    """run_full's LazyClouds branch (sliding-window device cache + next-scan
+    prefetch): same poses as the list-backed run, and the device cache stays
+    bounded by ``keep``."""
+    from pcr_tpu.utils import cloud as cloud_mod
+
+    clouds, gt = _bumpy_clouds(rng, n_clouds=4, n=800, cap=1024, step=0.3)
+    host = [cloud_mod.Cloud(
+        points=np.asarray(c.points), mask=np.asarray(c.mask)) for c in clouds]
+    lazy = cloud_mod.LazyClouds(host, keep=3)
+    kw = dict(dataset="Facade", voxel_size=0.2, mgicp_scales=2,
+              mgicp_iterations=25)
+    cfg_a = pipeline.PipelineConfig(
+        output_root=str(tmp_path / "list"), batch_size=1, **kw)
+    cfg_b = pipeline.PipelineConfig(
+        output_root=str(tmp_path / "lazy"), batch_size=1, **kw)
+    out_a = pipeline.run_full(cfg_a, clouds=clouds, n=4, methods=("LUM",))
+    out_b = pipeline.run_full(cfg_b, clouds=lazy, n=4, methods=("LUM",))
+    np.testing.assert_allclose(out_b["stage1"], out_a["stage1"], atol=1e-5)
+    np.testing.assert_allclose(out_b["stage2"], out_a["stage2"], atol=1e-5)
+    assert len(lazy._cache) <= 3  # the sliding window stayed bounded
