@@ -146,6 +146,23 @@ def _pad_feat(feat, capacity: int):
     return jnp.concatenate([feat, pad], axis=0)
 
 
+def _host_prefetch(tree):
+    """Start device->host copies for every array leaf of a just-dispatched
+    result, without blocking.
+
+    The drain path reads each result field separately (np.asarray of the pose,
+    float() of fitness/rmse/gate) and each such read is a blocking device-get
+    round trip on the SAME host thread that dispatches the next pairs.
+    Through the remote-TPU tunnel those round trips dominate the merged
+    window: measured 202-285 ms/pair drained field-by-field vs 81-87 ms with
+    the copies started at dispatch time (benchmarks/probe_fetch_cost.py, 16
+    NCLT pairs, solve chain only) — the fetch then finds the bytes already on
+    the host.  Purely a transfer-scheduling hint: values are unchanged."""
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
+
+
 def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
                    metrics: PairMetrics | None = None, mesh=None) -> np.ndarray:
     """FGR over all circuit pairs; returns (n, 4, 4) relative poses and writes
@@ -221,6 +238,7 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
         res = fgr_mod.registration_fgr(
             src, tgt, feat_src, feat_tgt, opts, seed=cfg.fgr_seed + src_i
         )
+        _host_prefetch(res)
         inflight.append((k, src_i, tgt_i, res, t0))
         # keep only features still needed (next pair reuses cloud src_i)
         for key in [key for key in feat_cache if key not in (src_i, (src_i + 1) % n)]:
@@ -496,6 +514,7 @@ def run_stage2_mgicp(cfg: PipelineConfig, init_poses: np.ndarray | None = None,
                 jnp.asarray(init_poses[k], jnp.float32),
                 n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations,
             )
+            _host_prefetch(res)
             inflight.append((k, s, t, res, t0))
             # keep only pyramids still needed by upcoming dispatches
             for key in [key for key in pyr_cache if key not in (s, (s + 1) % n)]:
@@ -790,8 +809,15 @@ def run_full(cfg: PipelineConfig, clouds=None, n: int | None = None,
         res2 = ms_mod.multiscale_gicp_pyramids(
             pyramid(s), pyramid(t), res1.transformation,
             n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations)
+        # Gate on the already-padded feature clouds: the same valid points as
+        # clouds[s]/clouds[t] (compact() drops only masked rows) at ~2/3 the
+        # row capacity of the full dataset bucket.  The banded NN's slab then
+        # covers a LARGER fraction of each cloud, so gate fitness is at least
+        # as accurate; any difference is band-approximation-level, far below
+        # the retry gate's 0.15 threshold resolution.
         gate, _, _ = eval_mod.evaluate_registration(
-            clouds[s], clouds[t], eval_dist, res2.transformation)
+            src_p, tgt_p, eval_dist, res2.transformation)
+        _host_prefetch((res1, res2, gate))
         inflight.append((k, s, t, res1, res2, gate))
         keep = (s, (s + 1) % n)
         for cache in (feat_cache, pyr_cache):
