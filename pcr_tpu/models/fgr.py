@@ -286,6 +286,15 @@ def default_options(
 ) -> FgrOptions:
     """The script-1 option set (1_...py:52-59)."""
     n_pts = (int(source.capacity) + int(target.capacity)) // 2  # static proxy
+    return default_options_capacity(n_pts, voxel_size, use_absolute_scale)
+
+
+def default_options_capacity(
+    n_pts: int, voxel_size: float, use_absolute_scale: bool = False,
+) -> FgrOptions:
+    """``default_options`` from a capacity alone — for callers that know the
+    pair bucket before building the padded clouds (pipeline._pair_step pads
+    INSIDE its fused jit, so the host side only has the bucket int)."""
     return FgrOptions(
         use_absolute_scale=use_absolute_scale,
         maximum_correspondence_distance=2 * voxel_size,

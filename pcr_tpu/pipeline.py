@@ -19,6 +19,7 @@ shard_mapped over the ``pairs`` axis).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import time
@@ -163,6 +164,37 @@ def _host_prefetch(tree):
             leaf.copy_to_host_async()
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("bucket", "voxel", "band", "features_kind"))
+def _prep_features(c, bucket: int, voxel, band: int, features_kind: str):
+    """Fused per-scan stage-1 preprocessing: compact to the scan's capacity
+    bucket -> features, ONE dispatch instead of two.
+
+    Fusion boundaries are drawn along the static-key dependencies: this
+    module genuinely depends on ``bucket``, so compiling one executable per
+    bucket is irreducible work.  The stage-2 pyramid/GICP modules do NOT
+    depend on the bucket and stay separate dispatches — an earlier draft
+    inlined them here and into the pair step, and every new bucket combo
+    encountered mid-circuit recompiled the whole merged module (25-55 s
+    spikes through the tunnel) for zero steady-state gain (the dispatch-
+    fusion probe measured fused == chained on-device)."""
+    cc = cloud_mod.compact(c, bucket)
+    if features_kind == "banded":
+        return fpfh_sorted.fgr_features_sorted(cc, voxel, band=band)
+    return fgr_mod.fgr_features(cc, voxel)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "opts"))
+def _fgr_pair_step(src_f, feat_src, tgt_f, feat_tgt, seed, B: int, opts):
+    """Fused per-pair stage-1 step: pad both scans to the pair bucket + FGR,
+    ONE dispatch instead of five (4 pads + solve).  Keyed on B like the FGR
+    solve itself — no redundant compiles (see _prep_features)."""
+    src_p, fs = cloud_mod.pad_to(src_f, B), _pad_feat(feat_src, B)
+    tgt_p, ft = cloud_mod.pad_to(tgt_f, B), _pad_feat(feat_tgt, B)
+    return fgr_mod.registration_fgr(src_p, tgt_p, fs, ft, opts, seed=seed)
+
+
 def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
                    metrics: PairMetrics | None = None, mesh=None) -> np.ndarray:
     """FGR over all circuit pairs; returns (n, 4, 4) relative poses and writes
@@ -187,14 +219,15 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
 
     def features(i):
         if i not in feat_cache:
-            cc = cloud_mod.compact(
-                clouds[i],
-                cloud_mod.bucket_capacity(clouds[i], cfg.bucket_granularity))
-            if cfg.stage1_features == "banded":
-                feat_cache[i] = fpfh_sorted.fgr_features_sorted(
-                    cc, cfg.voxel_size, band=cfg.stage1_band)
-            else:
-                feat_cache[i] = fgr_mod.fgr_features(cc, cfg.voxel_size)
+            # Host-side bucket (no device_get on a LazyClouds) + one fused
+            # compact->features dispatch — see run_full.prep for the tunnel
+            # overhead this removes.
+            hc = (clouds.host(i)
+                  if isinstance(clouds, cloud_mod.LazyClouds) else clouds[i])
+            bucket = cloud_mod.bucket_capacity(hc, cfg.bucket_granularity)
+            feat_cache[i] = _prep_features(
+                clouds[i], bucket, cfg.voxel_size, cfg.stage1_band,
+                cfg.stage1_features)
         return feat_cache[i]
 
     ckpt = os.path.join(cfg.out_dir("metrics"), "stage1_partial.npy")
@@ -230,14 +263,12 @@ def run_stage1_fgr(cfg: PipelineConfig, clouds=None, n: int | None = None,
         src, feat_src = features(src_i)
         tgt, feat_tgt = features(tgt_i)
         # Pair runs at the max of the two scan buckets (matching/GNC cost is
-        # area- and row-bound too); features pad with zero rows, mask False.
+        # area- and row-bound too); _fgr_pair_step pads both sides to B (zero
+        # feature rows, mask False) inside one fused dispatch.
         B = max(src.capacity, tgt.capacity)
-        src, feat_src = cloud_mod.pad_to(src, B), _pad_feat(feat_src, B)
-        tgt, feat_tgt = cloud_mod.pad_to(tgt, B), _pad_feat(feat_tgt, B)
-        opts = fgr_mod.default_options(src, tgt, cfg.voxel_size)
-        res = fgr_mod.registration_fgr(
-            src, tgt, feat_src, feat_tgt, opts, seed=cfg.fgr_seed + src_i
-        )
+        opts = fgr_mod.default_options_capacity(B, cfg.voxel_size)
+        res = _fgr_pair_step(src, feat_src, tgt, feat_tgt,
+                             cfg.fgr_seed + src_i, B, opts)
         _host_prefetch(res)
         inflight.append((k, src_i, tgt_i, res, t0))
         # keep only features still needed (next pair reuses cloud src_i)
@@ -736,23 +767,26 @@ def run_full(cfg: PipelineConfig, clouds=None, n: int | None = None,
     feat_cache: dict[int, tuple] = {}
     pyr_cache: dict[int, tuple] = {}
 
-    def features(i):
-        if i not in feat_cache:
-            cc = cloud_mod.compact(
-                clouds[i],
-                cloud_mod.bucket_capacity(clouds[i], cfg.bucket_granularity))
-            if cfg.stage1_features == "banded":
-                feat_cache[i] = fpfh_sorted.fgr_features_sorted(
-                    cc, cfg.voxel_size, band=cfg.stage1_band)
-            else:
-                feat_cache[i] = fgr_mod.fgr_features(cc, cfg.voxel_size)
-        return feat_cache[i]
+    def scan_bucket(i):
+        # Host-side bucket: on a LazyClouds the host mask is numpy, so this
+        # never pays the per-scan device_get round trip bucket_capacity takes
+        # on a device cloud.
+        c = clouds.host(i) if isinstance(clouds, cloud_mod.LazyClouds) else clouds[i]
+        return cloud_mod.bucket_capacity(c, cfg.bucket_granularity)
 
-    def pyramid(i):
-        if i not in pyr_cache:
+    def prep(i):
+        # Two dispatches per scan: fused compact->features (bucket-keyed) and
+        # the 5-scale pyramid (bucket-independent shared executable).  The
+        # host-side scan_bucket avoids bucket_capacity's per-scan device_get
+        # round trip — that blocking fetch on the dispatcher thread was the
+        # single largest non-device cost of the merged window.
+        if i not in feat_cache:
+            feat_cache[i] = _prep_features(
+                clouds[i], scan_bucket(i), cfg.voxel_size, cfg.stage1_band,
+                cfg.stage1_features)
             pyr_cache[i] = ms_mod.build_pyramid(
                 clouds[i], n_scales=cfg.mgicp_scales, scale_capacities=caps)
-        return pyr_cache[i]
+        return feat_cache[i], pyr_cache[i]
 
     out1 = np.zeros((n, 4, 4))
     out2 = np.zeros((n, 4, 4))
@@ -793,30 +827,32 @@ def run_full(cfg: PipelineConfig, clouds=None, n: int | None = None,
 
     for k, (s, t) in enumerate(pairs):
         if isinstance(clouds, cloud_mod.LazyClouds):
-            # prefetch the NEXT pair's new scan: device_put is async, so the
-            # host->device transfer gets a full pair-iteration (~0.3 s) head
-            # start instead of sitting on this loop's critical path (the
-            # tunnel's bandwidth swings make uploads the main straggler)
+            # prefetch the next TWO pairs' new scans: device_put is async, so
+            # each host->device transfer gets up to two pair-iterations of
+            # head start instead of sitting on this loop's critical path (the
+            # tunnel's bandwidth swings make uploads the main straggler; the
+            # LRU keeps 8 scans, so a 2-deep prefetch never evicts a live one)
             clouds[(s + 1) % n]
-        src_f, feat_src = features(s)
-        tgt_f, feat_tgt = features(t)
+            clouds[(s + 2) % n]
+        (src_f, feat_src), pyr_s = prep(s)
+        (tgt_f, feat_tgt), pyr_t = prep(t)
         B = max(src_f.capacity, tgt_f.capacity)
-        src_p, fs = cloud_mod.pad_to(src_f, B), _pad_feat(feat_src, B)
-        tgt_p, ft = cloud_mod.pad_to(tgt_f, B), _pad_feat(feat_tgt, B)
-        opts = fgr_mod.default_options(src_p, tgt_p, cfg.voxel_size)
-        res1 = fgr_mod.registration_fgr(
-            src_p, tgt_p, fs, ft, opts, seed=cfg.fgr_seed + s)
+        # opts from the PAIR bucket B (both scans are padded to B inside
+        # _fgr_pair_step), matching run_stage1_fgr's post-padding options.
+        opts = fgr_mod.default_options_capacity(B, cfg.voxel_size)
+        res1 = _fgr_pair_step(src_f, feat_src, tgt_f, feat_tgt,
+                              cfg.fgr_seed + s, B, opts)
         res2 = ms_mod.multiscale_gicp_pyramids(
-            pyramid(s), pyramid(t), res1.transformation,
+            pyr_s, pyr_t, res1.transformation,
             n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations)
-        # Gate on the already-padded feature clouds: the same valid points as
-        # clouds[s]/clouds[t] (compact() drops only masked rows) at ~2/3 the
-        # row capacity of the full dataset bucket.  The banded NN's slab then
-        # covers a LARGER fraction of each cloud, so gate fitness is at least
-        # as accurate; any difference is band-approximation-level, far below
-        # the retry gate's 0.15 threshold resolution.
+        # Gate on the unpadded feature clouds: same valid points as the full
+        # dataset-bucket clouds (compact() drops only masked rows) at ~2/3
+        # the row capacity, and the banded NN's slab covers a larger fraction
+        # of the smaller cloud — so the gate is at least as accurate; any
+        # difference is band-approximation-level, far below the retry gate's
+        # 0.15 threshold resolution.
         gate, _, _ = eval_mod.evaluate_registration(
-            src_p, tgt_p, eval_dist, res2.transformation)
+            src_f, tgt_f, eval_dist, res2.transformation)
         _host_prefetch((res1, res2, gate))
         inflight.append((k, s, t, res1, res2, gate))
         keep = (s, (s + 1) % n)
@@ -827,6 +863,12 @@ def run_full(cfg: PipelineConfig, clouds=None, n: int | None = None,
             drain_one()
     while inflight:
         drain_one()
+
+    def pyramid(i):  # retry-pass accessor (rebuilds after window eviction)
+        if i not in pyr_cache:
+            pyr_cache[i] = ms_mod.build_pyramid(
+                clouds[i], n_scales=cfg.mgicp_scales, scale_capacities=caps)
+        return pyr_cache[i]
 
     for k, s, t, res0 in retries:  # second pass: retry ladder per failure
         t0 = time.time()
@@ -892,17 +934,26 @@ def run_stage3_global(cfg: PipelineConfig, relative_poses: np.ndarray | None = N
         T_edges = np.asarray(se3.invert(np.asarray(relative_poses))).astype(np.float32)
         infos = np.zeros((n, 6, 6), np.float32)
         B = max(cfg.batch_size, 4)
-        for start in range(0, n, B):
+        # Pipelined like the merged window: dispatch chunk c+1 (its scan
+        # uploads ride the async device_put queue) before fetching chunk c's
+        # 6x6 blocks, so the per-chunk fetch round trip and the next chunk's
+        # uploads overlap this chunk's band-NN sweeps.
+        pending: list[tuple] = []
+        starts = list(range(0, n, B))
+        for start in starts:
             chunk = list(range(start, min(start + B, n)))
             idx = chunk + [chunk[-1]] * (B - len(chunk))
             src = cloud_mod.stack_clouds([clouds[pairs[k][1]] for k in idx])
             tgt = cloud_mod.stack_clouds([clouds[pairs[k][0]] for k in idx])
-            I = np.asarray(
-                eval_mod.information_matrix_batch(
-                    src, tgt, cfg.voxel_size, jnp.asarray(T_edges[idx])
-                )
-            )
-            infos[chunk] = I[: len(chunk)]
+            I = eval_mod.information_matrix_batch(
+                src, tgt, cfg.voxel_size, jnp.asarray(T_edges[idx]))
+            _host_prefetch(I)
+            pending.append((chunk, I))
+            while len(pending) >= 2:
+                c0, I0 = pending.pop(0)
+                infos[c0] = np.asarray(I0)[: len(c0)]
+        for c0, I0 in pending:
+            infos[c0] = np.asarray(I0)[: len(c0)]
         graph = pg_mod.build_circuit_graph(abs_poses, relative_poses, infos)
         out, pg_info = pg_mod.global_optimization(
             graph, max_correspondence_distance=2 * cfg.voxel_size,
