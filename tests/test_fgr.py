@@ -105,3 +105,18 @@ def test_fgr_gnc_robust_to_outlier_matches(rng):
     dR, dt = se3.pose_errors(T, T_gt)
     assert float(dt) < 0.05, float(dt)
     assert float(dR) < 0.05
+
+
+def test_default_options_capacity_matches_cloud_form():
+    """default_options_capacity(B) must equal default_options on two clouds
+    padded to the same capacity B — the merged-window runners build options
+    from the pair bucket BEFORE the pads happen inside the fused jit
+    (pipeline._fgr_pair_step), and the two forms drifting apart would
+    silently change maximum_tuple_count between the streamed and fused
+    paths."""
+    a = cloud.from_numpy(np.zeros((10, 3), np.float32), capacity=4096)
+    b = cloud.from_numpy(np.zeros((10, 3), np.float32), capacity=4096)
+    assert (fgr.default_options(a, b, 0.1)
+            == fgr.default_options_capacity(4096, 0.1))
+    assert (fgr.default_options_capacity(20480, 0.05).maximum_tuple_count
+            == max(int(0.2 * 20480), 256))
