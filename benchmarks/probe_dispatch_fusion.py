@@ -68,7 +68,9 @@ def main():
         return (src_p, cloud_mod.pad_to(tgt_f, B),
                 _pad_feat(feat_src, B), _pad_feat(feat_tgt, B),
                 pyrs[s], pyrs[t], clouds[s], clouds[t],
-                fgr_mod.default_options(src_f, tgt_f, v))
+                # opts from the PAIR bucket B, matching the production
+                # runners' post-padding option set
+                fgr_mod.default_options_capacity(B, v))
 
     def run(step, label, salt0):
         inflight = []

@@ -185,13 +185,25 @@ def _prep_features(c, bucket: int, voxel, band: int, features_kind: str):
     return fgr_mod.fgr_features(cc, voxel)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "opts"))
+@functools.partial(jax.jit, static_argnames=("B",))
+def _pad_pair(src_f, feat_src, tgt_f, feat_tgt, B: int):
+    """Pad a pair's clouds + features to the pair bucket in ONE tiny dispatch
+    (4 concatenates).  Kept OUT of the FGR module on purpose: a jit's cache
+    key includes its input shapes, so folding the pads into the solve would
+    compile the full FGR executable once per ordered (bucket_src, bucket_tgt)
+    combo encountered mid-circuit (up to 9 for 3 buckets) instead of once per
+    pair bucket B (3) — each a 25-55 s cold-cache spike for a module this
+    size.  This pad module also compiles per combo, but it is four concats."""
+    return (cloud_mod.pad_to(src_f, B), _pad_feat(feat_src, B),
+            cloud_mod.pad_to(tgt_f, B), _pad_feat(feat_tgt, B))
+
+
 def _fgr_pair_step(src_f, feat_src, tgt_f, feat_tgt, seed, B: int, opts):
-    """Fused per-pair stage-1 step: pad both scans to the pair bucket + FGR,
-    ONE dispatch instead of five (4 pads + solve).  Keyed on B like the FGR
-    solve itself — no redundant compiles (see _prep_features)."""
-    src_p, fs = cloud_mod.pad_to(src_f, B), _pad_feat(feat_src, B)
-    tgt_p, ft = cloud_mod.pad_to(tgt_f, B), _pad_feat(feat_tgt, B)
+    """Per-pair stage-1 step: pad both scans to the pair bucket (tiny
+    shape-combo-keyed dispatch) + FGR (B-keyed dispatch) — two dispatches
+    instead of five, with the same compile profile as the unfused code (the
+    big FGR module compiles once per B, see _pad_pair)."""
+    src_p, fs, tgt_p, ft = _pad_pair(src_f, feat_src, tgt_f, feat_tgt, B)
     return fgr_mod.registration_fgr(src_p, tgt_p, fs, ft, opts, seed=seed)
 
 
@@ -837,22 +849,24 @@ def run_full(cfg: PipelineConfig, clouds=None, n: int | None = None,
         (src_f, feat_src), pyr_s = prep(s)
         (tgt_f, feat_tgt), pyr_t = prep(t)
         B = max(src_f.capacity, tgt_f.capacity)
-        # opts from the PAIR bucket B (both scans are padded to B inside
-        # _fgr_pair_step), matching run_stage1_fgr's post-padding options.
+        # opts from the PAIR bucket B (both scans are padded to B below),
+        # matching run_stage1_fgr's post-padding options.
         opts = fgr_mod.default_options_capacity(B, cfg.voxel_size)
-        res1 = _fgr_pair_step(src_f, feat_src, tgt_f, feat_tgt,
-                              cfg.fgr_seed + s, B, opts)
+        src_p, fs, tgt_p, ft = _pad_pair(src_f, feat_src, tgt_f, feat_tgt, B)
+        res1 = fgr_mod.registration_fgr(src_p, tgt_p, fs, ft, opts,
+                                        seed=cfg.fgr_seed + s)
         res2 = ms_mod.multiscale_gicp_pyramids(
             pyr_s, pyr_t, res1.transformation,
             n_scales=cfg.mgicp_scales, iterations=cfg.mgicp_iterations)
-        # Gate on the unpadded feature clouds: same valid points as the full
-        # dataset-bucket clouds (compact() drops only masked rows) at ~2/3
-        # the row capacity, and the banded NN's slab covers a larger fraction
-        # of the smaller cloud — so the gate is at least as accurate; any
-        # difference is band-approximation-level, far below the retry gate's
-        # 0.15 threshold resolution.
+        # Gate on the padded feature clouds (B-keyed module, like the FGR
+        # solve): same valid points as the full dataset-bucket clouds
+        # (compact() drops only masked rows) at ~2/3 the row capacity, and
+        # the banded NN's slab covers a larger fraction of the smaller cloud
+        # — so the gate is at least as accurate; any difference is
+        # band-approximation-level, far below the retry gate's 0.15
+        # threshold resolution.
         gate, _, _ = eval_mod.evaluate_registration(
-            src_f, tgt_f, eval_dist, res2.transformation)
+            src_p, tgt_p, eval_dist, res2.transformation)
         _host_prefetch((res1, res2, gate))
         inflight.append((k, s, t, res1, res2, gate))
         keep = (s, (s + 1) % n)

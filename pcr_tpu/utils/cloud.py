@@ -10,6 +10,7 @@ still consults the mask.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, replace
 
 import jax
@@ -208,16 +209,12 @@ def load_dataset_host(dataset: str, indices=None,
     return out
 
 
-import functools
-
-
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def _repad_device(prefix_leaves, n_valid, capacity: int):
     """Rebuild a full-capacity cloud on device from a valid-row prefix: points
     pad to PAD_COORD, other attrs to zero, and the mask is synthesized as
     ``iota < n_valid`` (n_valid rides as a traced scalar — no per-scan
     recompile; only the handful of rounded prefix shapes compile)."""
-    pts = prefix_leaves["points"]
     out = {}
     for k, x in prefix_leaves.items():
         fill = PAD_COORD if k == "points" else 0.0
@@ -238,7 +235,20 @@ def _upload_prefix(h: Cloud, granularity: int = 2048) -> Cloud:
     device).  The prefix length rounds up to ``granularity`` so only a few
     shapes ever compile; rounding rows are host PAD_COORD rows, masked off.
     Exact: the rebuilt device cloud equals jnp.asarray of the host cloud."""
-    n_valid = int(np.asarray(h.mask).sum())
+    mask = np.asarray(h.mask)
+    n_valid = int(mask.sum())
+    if n_valid and not mask[:n_valid].all():
+        # Both dataset loaders produce prefix masks, but LazyClouds is a
+        # public container — a host cloud whose mask has interior holes
+        # (e.g. rows zeroed in place by a host-side filter) would be
+        # silently corrupted by the prefix slice, so fall back to the full
+        # upload for it.
+        return Cloud(
+            points=jnp.asarray(h.points), mask=jnp.asarray(h.mask),
+            normals=None if h.normals is None else jnp.asarray(h.normals),
+            covariances=(None if h.covariances is None
+                         else jnp.asarray(h.covariances)),
+            colors=None if h.colors is None else jnp.asarray(h.colors))
     rows = min(h.capacity, round_up(max(n_valid, 1), granularity))
     leaves = {"points": np.asarray(h.points)[:rows]}
     for k in ("normals", "covariances", "colors"):
