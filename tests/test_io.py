@@ -128,3 +128,32 @@ def test_lazy_clouds_streaming():
     eager = cloud_mod.load_dataset("Facade", indices=[0])[0]
     np.testing.assert_array_equal(np.asarray(d0b.points), np.asarray(eager.points))
     np.testing.assert_array_equal(np.asarray(d0b.mask), np.asarray(eager.mask))
+
+
+def test_lazy_clouds_non_prefix_mask_falls_back():
+    """_upload_prefix assumes valid rows form a prefix (true for both dataset
+    loaders); a host cloud with interior mask holes must take the full-upload
+    fallback and arrive on device bit-identical, not silently truncated."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pcr_tpu.utils import cloud as cloud_mod
+
+    pts = np.arange(30, dtype=np.float32).reshape(10, 3)
+    mask = np.ones(10, bool)
+    mask[[2, 5]] = False  # interior holes: NOT a prefix mask
+    holey = cloud_mod.Cloud(points=pts, mask=mask)
+    lz = cloud_mod.LazyClouds([holey], keep=2)
+    dev = lz[0]
+    assert isinstance(dev.points, jnp.ndarray)
+    np.testing.assert_array_equal(np.asarray(dev.points), pts)
+    np.testing.assert_array_equal(np.asarray(dev.mask), mask)
+    # and the prefix path itself (rows < capacity, real slice + device repad)
+    # stays exact for a prefix mask
+    cap, nv = 4096, 100
+    big = np.full((cap, 3), cloud_mod.PAD_COORD, np.float32)
+    big[:nv] = np.arange(3 * nv, dtype=np.float32).reshape(nv, 3)
+    pref = cloud_mod.Cloud(points=big, mask=np.arange(cap) < nv)
+    dev2 = cloud_mod.LazyClouds([pref], keep=2)[0]
+    np.testing.assert_array_equal(np.asarray(dev2.mask), np.arange(cap) < nv)
+    np.testing.assert_array_equal(np.asarray(dev2.points), big)
